@@ -1,0 +1,95 @@
+"""V1Codec — the reference wire format driven through the device ops.
+
+Produces output byte-identical to the upstream binary (main.cpp:39-87) with
+every pipeline stage running as JAX array ops; the whole post-transform
+stream is one FGK chunk, because the v1 format's single adaptive tree is a
+serial chain by construction (SURVEY.md §7 hard part c). This model exists
+for interop/parity; TPUCodec (v3) is the performance path, and the native
+C++ runtime is the fast host path for v1 bulk work.
+
+Decode: stream mode runs fully on device (FGK walk + parallel RLE). v1
+adaptive payloads interleave tile boundaries with the data itself
+(transform.cpp:330-361), which forces a sequential discovery walk — that
+mode delegates to the native runtime when available, else the pyref model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from huffman_codec_tpu.formats import make_huff_header, parse_huff_header
+from huffman_codec_tpu.models.chunked import CodecConfig, _cdiv
+from huffman_codec_tpu.ops.adapt import (
+    adapt_encode_fixed,
+    adapt_search_sizes,
+    candidate_sizes,
+    rle_max_encoded_len,
+)
+from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
+from huffman_codec_tpu.ops.fgk import fgk_decode_chunk, fgk_encode_chunk, max_code_bits
+from huffman_codec_tpu.ops.pack import bytes_to_words, words_to_bytes
+from huffman_codec_tpu.ops.rle import rle_decode, rle_encode
+
+
+class V1Codec:
+    """Bit-exact v1 (reference format) encode/decode on device."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+
+    def encode(self, data: bytes) -> bytes:
+        cfg = self.config
+        n = len(data)
+        if cfg.use_adapt:
+            if cfg.width <= 0:
+                raise ValueError("invalid width of 2D data")  # exit 4
+            if n % cfg.width:
+                raise ValueError("invalid size of input 2D data")  # exit 6
+        if n == 0:
+            return make_huff_header(0, cfg.use_diff, cfg.use_adapt)
+        x = jnp.asarray(np.frombuffer(data, np.uint8))
+        if cfg.use_diff:
+            x = diff_apply(x)
+        if cfg.use_adapt:
+            w, h = cfg.width, n // cfg.width
+            sizes = np.asarray(adapt_search_sizes(x, w, h))
+            bs = candidate_sizes(w, h)[int(np.argmin(sizes))]
+            cap = rle_max_encoded_len(n) + 64
+            stream, total, _, _ = adapt_encode_fixed(x, w, h, bs, out_len=cap)
+        else:
+            stream, total = rle_encode(x)
+        total = int(total)
+        n_words = _cdiv(total * max_code_bits(total), 32) + 2
+        words, bits = fgk_encode_chunk(stream[:total], jnp.int32(total), n_words)
+        nb = (int(bits) + 7) // 8
+        body = np.asarray(words_to_bytes(words, max(1, nb)))[:nb].tobytes()
+        return make_huff_header(total, cfg.use_diff, cfg.use_adapt) + body
+
+    def decode(self, blob: bytes, size_hint: int | None = None) -> bytes:
+        count, use_diff, use_adapt = parse_huff_header(blob)
+        if count == 0:
+            return b""
+        if use_adapt:
+            # serial tile-boundary walk -> native runtime / pyref
+            try:
+                from huffman_codec_tpu.native import runtime
+
+                return runtime.v1_decompress(blob)
+            except Exception:
+                from huffman_codec_tpu.pyref.codec import decompress
+
+                return decompress(blob)
+        payload = np.frombuffer(blob, np.uint8, offset=9)
+        words = bytes_to_words(jnp.asarray(payload), _cdiv(len(payload), 4))
+        if 8 * len(payload) < count:  # each symbol needs >= 1 bit (exit 9)
+            raise ValueError("invalid Huffman coding file contents")
+        stream = fgk_decode_chunk(words, jnp.int32(count), out_len=count)
+        # stream RLE expands at most 255x per count byte
+        bound = size_hint or min(count * 255, (1 << 31) - 1)
+        out, n = rle_decode(stream, jnp.int32(count), out_len=int(bound))
+        out = np.asarray(out)[: int(n)]
+        if use_diff:
+            out = np.asarray(diff_revert(jnp.asarray(out)))
+        return out.tobytes()

@@ -1,0 +1,199 @@
+"""Adaptive block RLE as batched device ops.
+
+Reference behavior (transform.cpp:25-134, 294-361; SURVEY.md §2.4): split the
+W x H byte matrix into bs x bs tiles (clamped at the borders), RLE each tile
+in row-major AND column-major scan order, keep the smaller (horizontal wins
+ties -> dir bit 1, transform.cpp:114-123), and auto-search block sizes
+8,16,...,1024 keeping a strictly smaller result (ties keep the smaller bs,
+transform.cpp:319). Payload = [W u64 BE][H u64 BE][bs u64 BE][scanDir bits
+MSB-first] ++ concatenated winning tile streams (headers.cpp:18-63).
+
+TPU design: W, H and bs are static under jit, so every tile's geometry —
+clamped extents, scan-order index maps — is a compile-time constant numpy
+array. Tile gathering is one fancy-index gather; the 2 x n_tiles x n_sizes
+candidate RLE passes (the reference's hot loop #3) collapse into vmapped
+calls of the closed-form ``rle_encoded_size`` — exactly the fan-out SURVEY.md
+§2.4 calls "embarrassingly parallel, ideal for vmap". Materialization scatters
+winning tiles through one exclusive prefix-sum of their lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from huffman_codec_tpu.ops.rle import (
+    rle_decode,
+    rle_encode,
+    rle_encoded_size,
+    rle_max_encoded_len,
+)
+
+INIT_RLE_BLOCK_SIZE = 8  # transform.hpp:17
+MAX_RLE_DOUBLING_STEPS = 7  # transform.hpp:18
+ADAPT_HEADER_BYTES = 24  # 3 big-endian u64s (headers.cpp:27-37)
+
+
+def candidate_sizes(width: int, height: int) -> list[int]:
+    """The reference's search schedule (transform.cpp:309-325): 8 always
+    (after the exit-12 minimum check), then doublings while <= min(W, H)."""
+    if min(width, height) < INIT_RLE_BLOCK_SIZE:
+        raise ValueError("too small 2D data dimensions")  # exit 12
+    sizes, bs = [], INIT_RLE_BLOCK_SIZE
+    for step in range(MAX_RLE_DOUBLING_STEPS + 1):
+        if step > 0 and (bs > width or bs > height):
+            break
+        sizes.append(bs)
+        bs *= 2
+    return sizes
+
+
+@functools.lru_cache(maxsize=64)
+def _tile_maps(width: int, height: int, bs: int):
+    """Static per-tile scan-order index maps.
+
+    Returns (hor_idx, ver_idx) int32[n_tiles, bs*bs] flat matrix indices
+    (position j of tile t in the given scan order; positions past the tile's
+    clamped sx*sy point at the tile base and are masked by valid_len), plus
+    valid_len int32[n_tiles]. Mirrors getBlockBase / getBlockSizeX/Y /
+    getBlockVector (transform.cpp:25-94) including partial border tiles.
+    """
+    bpl = -(-width // bs)
+    bpc = -(-height // bs)
+    nt = bpl * bpc
+    cap = bs * bs
+    hor = np.zeros((nt, cap), np.int32)
+    ver = np.zeros((nt, cap), np.int32)
+    lens = np.zeros((nt,), np.int32)
+    j = np.arange(cap)
+    for t in range(nt):
+        bx = (t % bpl) * bs
+        by = (t // bpl) * bs
+        sx = min(bs, width - bx)
+        sy = min(bs, height - by)
+        lens[t] = sx * sy
+        yh, xh = j // sx, j % sx  # row-major
+        xv, yv = j // sy, j % sy  # column-major (transform.cpp:79-91)
+        h = (by + yh) * width + bx + xh
+        v = (by + yv) * width + bx + xv
+        valid = j < sx * sy
+        base = by * width + bx
+        hor[t] = np.where(valid, h, base)
+        ver[t] = np.where(valid, v, base)
+    return hor, ver, lens
+
+
+def _gather_tiles(flat: jax.Array, width: int, height: int, bs: int):
+    hor_idx, ver_idx, lens = _tile_maps(width, height, bs)
+    return flat[jnp.asarray(hor_idx)], flat[jnp.asarray(ver_idx)], jnp.asarray(lens)
+
+
+def _tile_sizes(flat: jax.Array, width: int, height: int, bs: int):
+    """(hor_sizes, ver_sizes) int32[n_tiles] — encoded size of every tile in
+    both scan orders, no materialization."""
+    hor, ver, lens = _gather_tiles(flat, width, height, bs)
+    size = jax.vmap(rle_encoded_size)
+    return size(hor, lens), size(ver, lens), lens
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def adapt_search_sizes(matrix: jax.Array, width: int, height: int) -> jax.Array:
+    """Total encoded size (header included) for every candidate block size.
+    The caller picks ``argmin`` — first minimum == smaller bs, matching the
+    strict `<` rule at transform.cpp:319."""
+    flat = matrix.reshape(-1)
+    totals = []
+    for bs in candidate_sizes(width, height):
+        h, v, _ = _tile_sizes(flat, width, height, bs)
+        nt = h.shape[0]
+        totals.append(
+            ADAPT_HEADER_BYTES + (nt + 7) // 8 + jnp.sum(jnp.minimum(h, v))
+        )
+    return jnp.stack(totals)
+
+
+def _be64(v: int) -> np.ndarray:
+    return np.frombuffer(int(v).to_bytes(8, "big"), np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "bs", "out_len"))
+def adapt_encode_fixed(
+    matrix: jax.Array, width: int, height: int, bs: int, out_len: int | None = None
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Materialize the v1-exact adaptive payload for one block size.
+
+    Returns (stream uint8[out_len], total_len, dirs bool[n_tiles],
+    tile_lens int32[n_tiles]). Bit-exact with the 4-arg applyAdaptRLE
+    (transform.cpp:97-134) ++ createAdaptRLEHeader (headers.cpp:18-63).
+    """
+    flat = matrix.reshape(-1)
+    hor, ver, lens = _gather_tiles(flat, width, height, bs)
+    nt = hor.shape[0]
+    cap = rle_max_encoded_len(bs * bs)
+    enc = jax.vmap(lambda t, l: rle_encode(t, l, out_len=cap))
+    hor_s, hor_n = enc(hor, lens)
+    ver_s, ver_n = enc(ver, lens)
+    dirs = hor_n <= ver_n  # horizontal wins ties (transform.cpp:114-123)
+    tile_s = jnp.where(dirs[:, None], hor_s, ver_s)
+    tile_n = jnp.minimum(hor_n, ver_n)
+
+    n_dir_bytes = (nt + 7) // 8
+    header_len = ADAPT_HEADER_BYTES + n_dir_bytes
+    if out_len is None:
+        out_len = header_len + nt * cap
+    total = header_len + jnp.sum(tile_n)
+
+    out = jnp.zeros((out_len,), jnp.uint8)
+    out = out.at[:8].set(jnp.asarray(_be64(width)))
+    out = out.at[8:16].set(jnp.asarray(_be64(height)))
+    out = out.at[16:24].set(jnp.asarray(_be64(bs)))
+    # scanDir bits MSB-first, 1 = horizontal, 0-padded (headers.cpp:41-60)
+    dpad = jnp.zeros((n_dir_bytes * 8,), jnp.uint8).at[:nt].set(
+        dirs.astype(jnp.uint8))
+    dir_bytes = jnp.sum(
+        dpad.reshape(n_dir_bytes, 8)
+        * (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8))),
+        axis=1, dtype=jnp.uint8)
+    out = out.at[ADAPT_HEADER_BYTES:header_len].set(dir_bytes)
+
+    off = jnp.cumsum(tile_n) - tile_n + header_len
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx = off[:, None] + j
+    idx = jnp.where(j < tile_n[:, None], idx, out_len)  # drop padding
+    out = out.at[idx.reshape(-1)].set(tile_s.reshape(-1), mode="drop")
+    return out, total, dirs, tile_n
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "bs"))
+def adapt_decode_tiled(
+    stream: jax.Array,
+    tile_lens: jax.Array,
+    dirs: jax.Array,
+    width: int,
+    height: int,
+    bs: int,
+) -> jax.Array:
+    """Parallel adaptive decode given the per-tile manifest (the v3 device
+    container stores it; v1 streams lack it and decode via the native
+    runtime's sequential block walk, transform.cpp:330-361).
+
+    ``stream`` holds only the concatenated tile data (no header).
+    Returns the reconstructed uint8[height*width] matrix (flat).
+    """
+    hor_idx, ver_idx, lens = _tile_maps(width, height, bs)
+    cap = rle_max_encoded_len(bs * bs)
+    off = jnp.cumsum(tile_lens) - tile_lens
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(off[:, None] + j, 0, max(0, stream.shape[0] - 1))
+    tiles_enc = stream[gidx]
+    tiles_enc = jnp.where(j < tile_lens[:, None], tiles_enc, 0)
+    dec = jax.vmap(lambda t, l: rle_decode(t, l, out_len=bs * bs, block=64))
+    tiles, _ = dec(tiles_enc, tile_lens)
+    scatter_idx = jnp.where(dirs[:, None], jnp.asarray(hor_idx), jnp.asarray(ver_idx))
+    valid = jnp.arange(bs * bs, dtype=jnp.int32)[None, :] < jnp.asarray(lens)[:, None]
+    scatter_idx = jnp.where(valid, scatter_idx, width * height)
+    out = jnp.zeros((width * height,), jnp.uint8)
+    return out.at[scatter_idx.reshape(-1)].set(tiles.reshape(-1), mode="drop")

@@ -8,14 +8,34 @@ import os
 import pathlib
 import subprocess
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Must be set before jax backends initialize. Forced (not setdefault): the
+# session environment may export JAX_PLATFORMS=axon (the real-TPU tunnel,
+# registered by a sitecustomize hook), but unit tests run on the virtual
+# 8-device CPU mesh; bench.py is what exercises the real chip. Exported so
+# CLI subprocess tests inherit the same platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU hook
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+# Persistent compilation cache: the codec's scan/while kernels take tens of
+# seconds to compile; cache them across test runs and subprocesses.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hctpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 import pytest
+
+# The axon sitecustomize hook may have imported jax and registered the TPU
+# backend before this conftest ran; the config update below re-pins platform
+# selection (it is honored until the first backend actually initializes).
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE = pathlib.Path("/root/reference")

@@ -1,0 +1,104 @@
+"""Flagship TPUCodec (v3), V1Codec-on-device, and the sharded mesh path."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from huffman_codec_tpu.models import CodecConfig, TPUCodec, V1Codec  # noqa: E402
+
+RNG = np.random.default_rng(3)
+
+
+def _image(w=64, h=48):
+    """Small synthetic gradient image — compressible, 2D-structured."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = ((x // 3 + y // 5) % 256).astype(np.uint8)
+    img[10:20, 10:30] = 7
+    return img.tobytes()
+
+
+CONFIGS = [
+    CodecConfig(chunk_size=256),
+    CodecConfig(use_diff=True, chunk_size=256),
+    CodecConfig(use_adapt=True, width=64, chunk_size=256),
+    CodecConfig(use_diff=True, use_adapt=True, width=64, chunk_size=256),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=["none", "m", "a", "am"])
+def test_v3_roundtrip(cfg):
+    data = _image()
+    codec = TPUCodec(cfg)
+    blob = codec.encode(data)
+    assert codec.decode(blob) == data
+
+
+def test_v3_empty():
+    codec = TPUCodec(CodecConfig())
+    assert codec.decode(codec.encode(b"")) == b""
+
+
+def test_v3_incompressible():
+    data = RNG.integers(0, 256, 800, dtype=np.uint8).tobytes()
+    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=128))
+    assert codec.decode(codec.encode(data)) == data
+
+
+def test_v3_width_validation():
+    codec = TPUCodec(CodecConfig(use_adapt=True, width=64))
+    with pytest.raises(ValueError):
+        codec.encode(b"x" * 100)  # size % width != 0 (exit 6 analogue)
+
+
+@pytest.mark.parametrize("args", [(), ("-m",), ("-a",), ("-a", "-m")],
+                         ids=["none", "m", "a", "am"])
+def test_v1_device_encode_matches_oracle(oracle, tmp_path, args):
+    """Full-JAX v1 encode must be byte-identical to the C++ binary."""
+    import subprocess
+
+    data = _image()
+    cfg = CodecConfig(use_diff="-m" in args, use_adapt="-a" in args, width=64)
+    blob = V1Codec(cfg).encode(data)
+
+    inp = tmp_path / "in.raw"
+    ref = tmp_path / "ref.bin"
+    inp.write_bytes(data)
+    r = subprocess.run(
+        [str(oracle), "-c", *args, "-w", "64", "-i", str(inp), "-o", str(ref)],
+        capture_output=True,
+    )
+    assert r.returncode == 0
+    assert blob == ref.read_bytes()
+
+
+def test_v1_device_decode_stream():
+    data = _image()
+    cfg = CodecConfig(use_diff=True)
+    blob = V1Codec(cfg).encode(data)
+    assert V1Codec(cfg).decode(blob, size_hint=len(data) + 16) == data
+
+
+def test_multichip_dryrun_virtual():
+    """The driver's dryrun on the virtual 8-device CPU mesh."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
+
+
+def test_entry_compiles():
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    words, bits, total = jax.jit(fn)(*args)
+    assert int(total) > 0
