@@ -29,7 +29,10 @@ BASELINE_ENCODE_MBPS = 0.67  # reference hd01.raw -m encode (BASELINE.md §C)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", default=str(DATA / "hd01.raw"))
-    ap.add_argument("--chunk-size", type=int, default=1024)
+    ap.add_argument("--chunk-size", type=int, default=1 << 16)
+    ap.add_argument("--entropy", default="canonical",
+                    choices=["canonical", "fgk"])
+    ap.add_argument("--lane", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--verify", action="store_true",
                     help="also round-trip the container on a small slice")
@@ -39,22 +42,20 @@ def main() -> int:
     import jax.numpy as jnp
 
     from huffman_codec_tpu.models.chunked import _encode_stream_stage
-    from huffman_codec_tpu.ops.fgk import max_code_bits
     from huffman_codec_tpu.ops.rle import rle_max_encoded_len
 
     raw = pathlib.Path(args.file).read_bytes()
     n = len(raw)
     cs = args.chunk_size
-    max_chunks = -(-rle_max_encoded_len(n) // cs)
-    n_words = (cs * max_code_bits(cs) + 31) // 32 + 2
+    max_chunks = -(-(rle_max_encoded_len(n) + 64) // cs)
 
     data = jnp.asarray(np.frombuffer(raw, np.uint8))
 
     def run():
-        words, bits, total = _encode_stream_stage(data, True, cs, max_chunks,
-                                                  n_words)
-        jax.block_until_ready((words, bits, total))
-        return words, bits, total
+        out = _encode_stream_stage(data, True, cs, max_chunks,
+                                   args.entropy, args.lane)
+        jax.block_until_ready(out)
+        return out
 
     run()  # compile
     times = []
@@ -68,7 +69,8 @@ def main() -> int:
     if args.verify:
         from huffman_codec_tpu.models import CodecConfig, TPUCodec
 
-        codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=cs))
+        codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=cs,
+                                     entropy=args.entropy, lane=args.lane))
         blob = codec.encode(raw[: 1 << 16])
         assert codec.decode(blob) == raw[: 1 << 16], "roundtrip failed"
 
@@ -81,6 +83,7 @@ def main() -> int:
             "file": pathlib.Path(args.file).name,
             "bytes": n,
             "chunk_size": cs,
+            "entropy": args.entropy,
             "median_s": round(dt, 4),
             "platform": jax.devices()[0].platform,
         },

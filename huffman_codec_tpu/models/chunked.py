@@ -1,26 +1,36 @@
 """TPUCodec — the flagship chunk-parallel device codec (v3 container).
 
 Same capability surface as the reference pipeline (diff model, stream RLE /
-adaptive block RLE, FGK adaptive Huffman; readme.md:31) but re-designed for
-the TPU execution model instead of translating the serial C++ loop:
+adaptive block RLE, entropy coding; readme.md:31) but re-designed for the
+TPU execution model instead of translating the serial C++ loop:
 
 * every transform is a static-shaped, jittable array op (ops/);
-* the post-transform symbol stream is cut into fixed chunks, each carrying
-  an independent FGK tree -> `vmap`/`shard_map` data-parallelism on encode
-  AND decode (the reference format's single serial FGK chain is the one
-  thing that cannot be parallelized without replaying state, SURVEY.md §7);
+* the post-transform symbol stream is cut into fixed chunks processed with
+  ``vmap``/``shard_map`` data-parallelism on encode AND decode;
 * everything variable-length lives in a manifest (per-chunk bit lengths,
-  per-tile byte lengths) so decode needs no sequential discovery pass.
+  per-tile byte lengths, per-lane bit offsets) so decode needs no
+  sequential discovery pass;
+* two entropy modes per chunk:
+  - ``canonical`` (default): two-pass canonical Huffman (ops/canonical.py)
+    — O(1) vector ops per symbol, the TPU-speed path; per-chunk optimal
+    tables replace FGK's adaptivity at 256 B/chunk overhead.
+  - ``fgk``: the reference's exact FGK coder (ops/fgk.py), chunk-parallel —
+    sequential per chunk by construction (huffman.cpp), kept for parity and
+    for wire-compatibility experiments.
 
 v3 wire layout (all little-endian; contrast v1's mixed LE/BE, SURVEY.md §2.6):
 
     magic "HCTPU\\x03" | version u8 | flags u8 (bit7 diff, bit6 adapt)
+    entropy u8 (0 fgk, 1 canonical)
     orig_size u64 | transformed_size u64 | chunk_size u32 | n_chunks u32
+    lane u32
     [adapt only] W u64 | H u64 | bs u64 | n_tiles u32
                  scanDir bits (ceil(nt/8) bytes, MSB-first)
                  tile_lens u32 * n_tiles
     chunk_bits u64 * n_chunks
-    payload: byte-aligned per-chunk FGK bitstreams, concatenated
+    [canonical only] code-length tables u8[256] * n_chunks
+                     lane_bits u32 * (chunk_size/lane) * n_chunks
+    payload: byte-aligned per-chunk bitstreams, concatenated
 
 Unlike v1/v2, the adaptive header is NOT embedded in the compressed payload:
 the manifest replaces it, which is what makes tile decode parallel.
@@ -38,11 +48,16 @@ import numpy as np
 
 from huffman_codec_tpu.formats import FLAG_ADAPT, FLAG_DIFF
 from huffman_codec_tpu.ops.adapt import (
+    ADAPT_HEADER_BYTES,
     adapt_decode_tiled,
     adapt_encode_fixed,
     adapt_search_sizes,
     candidate_sizes,
     rle_max_encoded_len,
+)
+from huffman_codec_tpu.ops.canonical import (
+    canonical_decode_batch,
+    canonical_encode_batch,
 )
 from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch, max_code_bits
@@ -50,17 +65,22 @@ from huffman_codec_tpu.ops.pack import bytes_to_words, words_to_bytes
 from huffman_codec_tpu.ops.rle import rle_decode, rle_encode
 
 V3_MAGIC = b"HCTPU\x03"
+ENTROPY_FGK = 0
+ENTROPY_CANONICAL = 1
+_ENTROPY = {"fgk": ENTROPY_FGK, "canonical": ENTROPY_CANONICAL}
 
 
 @dataclass(frozen=True)
 class CodecConfig:
-    """Pipeline options — the reference CLI surface plus chunking
-    (main.cpp:152-221 defaults: diff off, adapt off, width 512)."""
+    """Pipeline options — the reference CLI surface (main.cpp:152-221
+    defaults: diff off, adapt off, width 512) plus chunking/entropy."""
 
     use_diff: bool = False
     use_adapt: bool = False
     width: int = 512
     chunk_size: int = 1 << 16
+    entropy: str = "canonical"  # "canonical" | "fgk"
+    lane: int = 512  # canonical decode parallel granularity
 
     def flags(self) -> int:
         return (FLAG_DIFF if self.use_diff else 0) | (
@@ -72,38 +92,56 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _n_words_for(chunk_size: int, entropy: str) -> int:
+    bits = 32 if entropy == "canonical" else max_code_bits(chunk_size)
+    return _cdiv(chunk_size * bits, 32) + 2
+
+
 # ---------------------------------------------------------------------------
-# jitted encode stages (static-shape specialized per (n, config))
+# jitted stages (static-shape specialized per (n, config))
 # ---------------------------------------------------------------------------
+
+
+def _chunkify(stream, total, chunk_size, max_chunks):
+    chunks = stream.reshape(max_chunks, chunk_size)
+    lens = jnp.clip(
+        total - jnp.arange(max_chunks, dtype=jnp.int32) * chunk_size,
+        0, chunk_size,
+    )
+    return chunks, lens
+
+
+def _entropy_encode(chunks, lens, entropy, n_words, lane):
+    if entropy == "canonical":
+        return canonical_encode_batch(chunks, lens, n_words, lane=lane)
+    words, bits = fgk_encode_batch(chunks, lens, n_words)
+    return words, bits, None, None
 
 
 @functools.partial(
-    jax.jit, static_argnames=("use_diff", "chunk_size", "max_chunks", "n_words")
+    jax.jit,
+    static_argnames=("use_diff", "chunk_size", "max_chunks", "entropy", "lane"),
 )
-def _encode_stream_stage(
-    data: jax.Array, use_diff: bool, chunk_size: int, max_chunks: int, n_words: int
-):
-    """diff? -> stream RLE -> chunked FGK, all on device."""
+def _encode_stream_stage(data, use_diff: bool, chunk_size: int,
+                         max_chunks: int, entropy: str, lane: int):
+    """diff? -> stream RLE -> chunked entropy coding, all on device."""
     x = diff_apply(data) if use_diff else data
     stream, total = rle_encode(x, out_len=max_chunks * chunk_size)
-    chunks = stream.reshape(max_chunks, chunk_size)
-    lens = jnp.clip(
-        total - jnp.arange(max_chunks, dtype=jnp.int32) * chunk_size, 0, chunk_size
-    )
-    words, bits = fgk_encode_batch(chunks, lens, n_words)
-    return words, bits, total
+    chunks, lens = _chunkify(stream, total, chunk_size, max_chunks)
+    n_words = _n_words_for(chunk_size, entropy)
+    enc = _entropy_encode(chunks, lens, entropy, n_words, lane)
+    return (*enc, total)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_diff", "width", "height", "bs", "chunk_size",
-                     "max_chunks", "n_words"),
+                     "max_chunks", "entropy", "lane"),
 )
-def _encode_adapt_stage(
-    data: jax.Array, use_diff: bool, width: int, height: int, bs: int,
-    chunk_size: int, max_chunks: int, n_words: int,
-):
-    """diff? -> adaptive block RLE (fixed bs) -> chunked FGK.
+def _encode_adapt_stage(data, use_diff: bool, width: int, height: int,
+                        bs: int, chunk_size: int, max_chunks: int,
+                        entropy: str, lane: int):
+    """diff? -> adaptive block RLE (fixed bs) -> chunked entropy coding.
 
     The v3 transformed stream is the concatenated tile data only — the
     manifest replaces the in-band v1 adaptive header."""
@@ -111,42 +149,37 @@ def _encode_adapt_stage(
     payload, total, dirs, tile_lens = adapt_encode_fixed(
         x, width, height, bs, out_len=max_chunks * chunk_size
     )
-    from huffman_codec_tpu.ops.adapt import ADAPT_HEADER_BYTES
-
     nt = dirs.shape[0]
     header_len = ADAPT_HEADER_BYTES + (nt + 7) // 8
     tile_total = total - header_len
-    # strip the v1-style header: shift payload left by header_len
-    stream = jnp.roll(payload, -header_len)
-    chunks = stream.reshape(max_chunks, chunk_size)
-    lens = jnp.clip(
-        tile_total - jnp.arange(max_chunks, dtype=jnp.int32) * chunk_size,
-        0, chunk_size,
-    )
-    words, bits = fgk_encode_batch(chunks, lens, n_words)
-    return words, bits, tile_total, dirs, tile_lens
+    stream = jnp.roll(payload, -header_len)  # strip the v1-style header
+    chunks, lens = _chunkify(stream, tile_total, chunk_size, max_chunks)
+    n_words = _n_words_for(chunk_size, entropy)
+    enc = _entropy_encode(chunks, lens, entropy, n_words, lane)
+    return (*enc, tile_total, dirs, tile_lens)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size", "out_len", "use_diff"))
-def _decode_stream_stage(
-    words: jax.Array, counts: jax.Array, total: jax.Array,
-    chunk_size: int, out_len: int, use_diff: bool,
-):
-    chunks = fgk_decode_batch(words, counts, chunk_size)
-    stream = chunks.reshape(-1)
+def _entropy_decode(words, counts, hdr, chunk_size):
+    if hdr["entropy"] == ENTROPY_CANONICAL:
+        return canonical_decode_batch(
+            jnp.asarray(words), jnp.asarray(hdr["tables"]),
+            jnp.asarray(hdr["lane_bits"]), counts,
+            lane=hdr["lane"], out_len=chunk_size,
+        )
+    return fgk_decode_batch(jnp.asarray(words), counts, chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "use_diff"))
+def _decode_stream_tail(stream, total, out_len: int, use_diff: bool):
     out, n = rle_decode(stream, total, out_len=out_len)
     return (diff_revert(out) if use_diff else out), n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk_size", "width", "height", "bs", "use_diff")
+    jax.jit, static_argnames=("width", "height", "bs", "use_diff")
 )
-def _decode_adapt_stage(
-    words: jax.Array, counts: jax.Array, tile_lens: jax.Array, dirs: jax.Array,
-    chunk_size: int, width: int, height: int, bs: int, use_diff: bool,
-):
-    chunks = fgk_decode_batch(words, counts, chunk_size)
-    stream = chunks.reshape(-1)
+def _decode_adapt_tail(stream, tile_lens, dirs, width: int, height: int,
+                       bs: int, use_diff: bool):
     flat = adapt_decode_tiled(stream, tile_lens, dirs, width, height, bs)
     return diff_revert(flat) if use_diff else flat
 
@@ -165,6 +198,11 @@ class TPUCodec:
 
     def __init__(self, config: CodecConfig | None = None):
         self.config = config or CodecConfig()
+        if self.config.entropy not in _ENTROPY:
+            raise ValueError(f"unknown entropy mode {self.config.entropy}")
+        if (self.config.entropy == "canonical"
+                and self.config.chunk_size % self.config.lane):
+            raise ValueError("chunk_size must divide by lane")
 
     # -- encode -------------------------------------------------------------
 
@@ -177,27 +215,22 @@ class TPUCodec:
             if n % cfg.width:
                 raise ValueError("invalid size of input 2D data")  # exit 6
         if n == 0:
-            return self._container(b"", 0, 0, [], None)
+            return self._container(b"", 0, 0, [], None, None, None)
         x = jnp.asarray(np.frombuffer(data, np.uint8))
         cs = cfg.chunk_size
+        cap = rle_max_encoded_len(n) + 64
+        max_chunks = _cdiv(cap, cs)
         if cfg.use_adapt:
             w, h = cfg.width, n // cfg.width
             sizes = np.asarray(adapt_search_sizes(x, w, h))
             bs = candidate_sizes(w, h)[int(np.argmin(sizes))]
-            cap = rle_max_encoded_len(n) + 64
-            max_chunks = _cdiv(cap, cs)
-            n_words = _cdiv(cs * max_code_bits(cs), 32) + 2
-            words, bits, total, dirs, tile_lens = _encode_adapt_stage(
-                x, cfg.use_diff, w, h, bs, cs, max_chunks, n_words
-            )
+            words, bits, tables, lane_bits, total, dirs, tile_lens = (
+                _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs, max_chunks,
+                                    cfg.entropy, cfg.lane))
             adapt_meta = (w, h, bs, np.asarray(dirs), np.asarray(tile_lens))
         else:
-            cap = rle_max_encoded_len(n)
-            max_chunks = _cdiv(cap, cs)
-            n_words = _cdiv(cs * max_code_bits(cs), 32) + 2
-            words, bits, total = _encode_stream_stage(
-                x, cfg.use_diff, cs, max_chunks, n_words
-            )
+            words, bits, tables, lane_bits, total = _encode_stream_stage(
+                x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
             adapt_meta = None
         total = int(total)
         n_chunks = _cdiv(total, cs)
@@ -208,32 +241,34 @@ class TPUCodec:
             streams.append(
                 np.asarray(words_to_bytes(words[c], max(1, nb)))[:nb].tobytes()
             )
+        tables_np = (np.asarray(tables)[:n_chunks]
+                     if tables is not None else None)
+        lanes_np = (np.asarray(lane_bits)[:n_chunks]
+                    if lane_bits is not None else None)
         return self._container(b"".join(streams), n, total, bits_np.tolist(),
-                               adapt_meta)
+                               adapt_meta, tables_np, lanes_np)
 
-    def _container(self, payload, orig, total, chunk_bits, adapt_meta) -> bytes:
+    def _container(self, payload, orig, total, chunk_bits, adapt_meta,
+                   tables, lane_bits) -> bytes:
         cfg = self.config
         out = bytearray()
         out += V3_MAGIC
         out.append(1)
         out.append(cfg.flags())
-        out += struct.pack("<QQII", orig, total, cfg.chunk_size, len(chunk_bits))
+        out.append(_ENTROPY[cfg.entropy])
+        out += struct.pack("<QQIII", orig, total, cfg.chunk_size,
+                           len(chunk_bits), cfg.lane)
         if cfg.use_adapt and adapt_meta is not None:
             w, h, bs, dirs, tile_lens = adapt_meta
             nt = len(tile_lens)
             out += struct.pack("<QQQI", w, h, bs, nt)
-            acc, nb = 0, 0
-            for d in dirs:
-                acc = (acc << 1) | int(d)
-                nb += 1
-                if nb == 8:
-                    out.append(acc)
-                    acc, nb = 0, 0
-            if nb:
-                out.append(acc << (8 - nb))
+            out += np.packbits(np.asarray(dirs, np.uint8)).tobytes()
             out += np.asarray(tile_lens, "<u4").tobytes()
         for b in chunk_bits:
             out += struct.pack("<Q", int(b))
+        if cfg.entropy == "canonical" and tables is not None:
+            out += np.asarray(tables, np.uint8).tobytes()
+            out += np.asarray(lane_bits, "<u4").tobytes()
         out += payload
         return bytes(out)
 
@@ -245,7 +280,8 @@ class TPUCodec:
             return b""
         cs = hdr["chunk_size"]
         n_chunks = hdr["n_chunks"]
-        wpc = _cdiv(cs * max_code_bits(cs), 32) + 2
+        entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
+        wpc = _n_words_for(cs, entropy)
         words = np.zeros((n_chunks, wpc), np.uint32)
         pos = hdr["payload_off"]
         for c in range(n_chunks):
@@ -254,37 +290,38 @@ class TPUCodec:
             pos += nb
             w = np.asarray(bytes_to_words(jnp.asarray(chunk), _cdiv(nb, 4)))
             words[c, : w.shape[0]] = w
-        counts = np.clip(
+        counts = jnp.asarray(np.clip(
             hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
-        ).astype(np.int32)
+        ).astype(np.int32))
+        chunks = _entropy_decode(words, counts, hdr, cs)
+        stream = chunks.reshape(-1)
         use_diff = bool(hdr["flags"] & FLAG_DIFF)
         if hdr["flags"] & FLAG_ADAPT:
-            w_, h_, bs = hdr["w"], hdr["h"], hdr["bs"]
-            flat = _decode_adapt_stage(
-                jnp.asarray(words), jnp.asarray(counts),
-                jnp.asarray(hdr["tile_lens"].astype(np.int32)),
-                jnp.asarray(hdr["dirs"]), cs, w_, h_, bs, use_diff,
+            flat = _decode_adapt_tail(
+                stream, jnp.asarray(hdr["tile_lens"].astype(np.int32)),
+                jnp.asarray(hdr["dirs"]), hdr["w"], hdr["h"], hdr["bs"],
+                use_diff,
             )
             out = np.asarray(flat)[: hdr["orig"]]
         else:
-            dec, n = _decode_stream_stage(
-                jnp.asarray(words), jnp.asarray(counts), jnp.int32(hdr["total"]),
-                cs, hdr["orig"] + 8, use_diff,
-            )
-            if int(n) != hdr["orig"]:
+            dec, m = _decode_stream_tail(
+                stream, jnp.int32(hdr["total"]), hdr["orig"] + 8, use_diff)
+            if int(m) != hdr["orig"]:
                 raise ValueError("corrupt v3 container: size mismatch")
             out = np.asarray(dec)[: hdr["orig"]]
         return out.tobytes()
 
     @staticmethod
     def _parse(blob: bytes) -> dict:
-        if len(blob) < 32 or blob[:6] != V3_MAGIC or blob[6] != 1:
+        if len(blob) < 37 or blob[:6] != V3_MAGIC or blob[6] != 1:
             raise ValueError("invalid v3 container")
         flags = blob[7]
-        orig, total, chunk_size, n_chunks = struct.unpack_from("<QQII", blob, 8)
-        pos = 32
-        hdr = dict(flags=flags, orig=orig, total=total, chunk_size=chunk_size,
-                   n_chunks=n_chunks)
+        entropy = blob[8]
+        orig, total, chunk_size, n_chunks, lane = struct.unpack_from(
+            "<QQIII", blob, 9)
+        pos = 37
+        hdr = dict(flags=flags, entropy=entropy, orig=orig, total=total,
+                   chunk_size=chunk_size, n_chunks=n_chunks, lane=lane)
         if flags & FLAG_ADAPT and orig:
             w, h, bs, nt = struct.unpack_from("<QQQI", blob, pos)
             pos += 28
@@ -300,5 +337,14 @@ class TPUCodec:
             struct.unpack_from("<Q", blob, pos + 8 * c)[0] for c in range(n_chunks)
         ]
         pos += 8 * n_chunks
+        if entropy == ENTROPY_CANONICAL and n_chunks:
+            tables = np.frombuffer(
+                blob, np.uint8, 256 * n_chunks, pos).reshape(n_chunks, 256)
+            pos += 256 * n_chunks
+            lpc = chunk_size // lane
+            lane_bits = np.frombuffer(
+                blob, "<u4", lpc * n_chunks, pos).reshape(n_chunks, lpc)
+            pos += 4 * lpc * n_chunks
+            hdr.update(tables=tables.copy(), lane_bits=lane_bits.copy())
         hdr.update(chunk_bits=chunk_bits, payload_off=pos)
         return hdr

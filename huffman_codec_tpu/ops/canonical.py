@@ -1,0 +1,299 @@
+"""Per-chunk two-pass canonical Huffman — the TPU-speed entropy stage.
+
+Why this exists: the reference's FGK coder (huffman.cpp) interleaves a tree
+mutation between every symbol, which no amount of batching can make faster
+than O(tree) vector work per byte on a TPU (ops/fgk.py implements it exactly
+for format parity, and measures in MB/s). The classic accelerator answer —
+the GPU-Huffman literature's design (PAPERS.md) — is two-pass semi-static
+coding per chunk: histogram, build an optimal prefix code, then encoding is
+one table gather + prefix-sum bit packing per symbol: O(1) vector ops/byte,
+memory-bound. The v3 container exposes it as its default entropy mode;
+compression quality matches the adaptive coder closely because each chunk
+gets its own optimal table (vs FGK's learning-lag), at 256 B/chunk overhead.
+
+Everything is batched over the chunk dimension C:
+
+- histogram: one scatter-add over (C, 256)
+- Huffman code lengths: the two-queue merge as a 255-step ``lax.scan``
+  (per-step O(1) gathers per chunk — NOT per symbol), then a reverse
+  255-step depth propagation
+- canonical assignment: length-histogram prefix sums + one argsort
+- encode: gather code/len per symbol -> ops/pack.pack_codes
+- decode: left-justified 32-bit window compare against per-length
+  boundaries (first l with w < B[l]); lanes of symbols decode in parallel
+  across (C x n_lanes) with a ``lax.scan`` over lane positions, enabled by
+  per-lane bit offsets recorded in the container manifest
+
+Code lengths are Fibonacci-bounded by the chunk size (< 32 bits for chunks
+<= 3.5 M symbols), asserted statically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from huffman_codec_tpu.ops.pack import pack_codes
+
+N_SYM = 256
+MAX_LEN = 31  # left-justified 32-bit window decode
+BIG = jnp.int32(0x3FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# code construction
+# ---------------------------------------------------------------------------
+
+
+def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
+    """counts (C, 256) of the valid prefix of each chunk row."""
+    C, L = data.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = idx < lengths[:, None]
+    cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, L))
+    sym = jnp.where(valid, data.astype(jnp.int32), 0)
+    ones = valid.astype(jnp.int32)
+    out = jnp.zeros((C, N_SYM), jnp.int32)
+    return out.at[cid.reshape(-1), sym.reshape(-1)].add(ones.reshape(-1))
+
+
+def build_lengths(counts: jax.Array) -> jax.Array:
+    """Optimal prefix-code lengths per chunk (C, 256) via the two-queue
+    Huffman merge, vectorized over chunks; 255 scan steps total."""
+    C = counts.shape[0]
+    n_sym = jnp.sum(counts > 0, axis=1).astype(jnp.int32)  # (C,)
+
+    # ascending by (count, symbol) — stable argsort gives the symbol
+    # tie-break; zero-count symbols pushed to the end
+    key = jnp.where(counts > 0, counts, BIG)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    leaf_w = jnp.take_along_axis(jnp.where(counts > 0, counts, BIG), order, 1)
+    # sentinel column: an exhausted queue pointer must read BIG, not clamp
+    # back onto the last real entry (a ghost re-pick corrupts the tree)
+    leaf_w = jnp.concatenate(
+        [leaf_w, jnp.full((C, 1), BIG, jnp.int32)], axis=1)
+
+    cvec = jnp.arange(C, dtype=jnp.int32)
+    # parents: ids 0..255 = leaves (sorted order), 256..510 = internals
+    parents0 = jnp.zeros((C, 2 * N_SYM - 1), jnp.int32)
+    iw0 = jnp.full((C, N_SYM), BIG, jnp.int32)  # internal weights + sentinel
+
+    def pick(state):
+        li, ri, iw = state
+        lw = jnp.take_along_axis(leaf_w, li[:, None], 1)[:, 0]
+        rw = jnp.take_along_axis(iw, ri[:, None], 1)[:, 0]
+        take_leaf = lw <= rw  # leaf wins ties -> lower depth variance
+        val = jnp.where(take_leaf, lw, rw)
+        nid = jnp.where(take_leaf, li, N_SYM + ri)
+        return (jnp.where(take_leaf, li + 1, li),
+                jnp.where(take_leaf, ri, ri + 1), iw), val, nid
+
+    def merge(carry, t):
+        li, ri, iw, parents = carry
+        active = t < n_sym - 1
+        (li2, ri2, iw), aval, aid = pick((li, ri, iw))
+        (li3, ri3, iw), bval, bid = pick((li2, ri2, iw))
+        new_w = jnp.where(active, aval + bval, BIG)
+        iw = iw.at[cvec, t].set(new_w)
+        dump = jnp.int32(2 * N_SYM - 2)  # root slot doubles as dump: its
+        # parent is never read (depth of the root is pinned to 0 below)
+        parents = parents.at[cvec, jnp.where(active, aid, dump)].set(
+            jnp.where(active, N_SYM + t, parents[cvec, dump]))
+        parents = parents.at[cvec, jnp.where(active, bid, dump)].set(
+            jnp.where(active, N_SYM + t, parents[cvec, dump]))
+        li = jnp.where(active, li3, li)
+        ri = jnp.where(active, ri3, ri)
+        return (li, ri, iw, parents), None
+
+    (li, ri, iw, parents), _ = jax.lax.scan(
+        merge,
+        (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32), iw0, parents0),
+        jnp.arange(N_SYM - 1, dtype=jnp.int32),
+    )
+
+    # depth propagation: internals in reverse creation order
+    depth0 = jnp.zeros((C, 2 * N_SYM - 1), jnp.int32)
+
+    def dprop(depth, t):
+        # node id 256+t; the root (t == n_sym-2) stays 0
+        nid = N_SYM + t
+        p = parents[cvec, nid]
+        d = jnp.where(t == n_sym - 2, 0, depth[cvec, p] + 1)
+        d = jnp.where(t < n_sym - 1, d, 0)
+        return depth.at[cvec, nid].set(d), None
+
+    depth, _ = jax.lax.scan(
+        dprop, depth0, jnp.arange(N_SYM - 2, -1, -1, dtype=jnp.int32)
+    )
+
+    leaf_ids = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
+    pl = parents[:, :N_SYM]
+    leaf_depth = depth[cvec[:, None], pl] + 1  # (C, 256) in sorted order
+    rank = jnp.broadcast_to(leaf_ids, (C, N_SYM))
+    present = rank < n_sym[:, None]
+    leaf_depth = jnp.where(present, leaf_depth, 0)
+    # single-symbol chunk: give it a 1-bit code (decoder needs a length)
+    leaf_depth = jnp.where((n_sym[:, None] == 1) & (rank == 0), 1, leaf_depth)
+
+    lens = jnp.zeros((C, N_SYM), jnp.int32)
+    lens = lens.at[cvec[:, None], order].set(leaf_depth)
+    return lens
+
+
+def canonical_tables(lens: jax.Array):
+    """(first_code (C,33), start_index (C,33), canon_syms (C,256)).
+
+    Canonical order = ascending (length, symbol); codes assigned per
+    RFC-1951 style: first_code[l] = (first_code[l-1]+bl_count[l-1]) << 1.
+    """
+    C = lens.shape[0]
+    cvec = jnp.arange(C, dtype=jnp.int32)
+    bl_count = jnp.zeros((C, MAX_LEN + 2), jnp.int32)
+    bl_count = bl_count.at[
+        cvec[:, None], jnp.where(lens > 0, lens, MAX_LEN + 1)
+    ].add(jnp.where(lens > 0, 1, 0))
+
+    def fc_step(code, l):
+        code = (code + bl_count[:, l - 1]) << 1
+        return code, code
+
+    _, fc = jax.lax.scan(
+        fc_step, jnp.zeros((C,), jnp.int32),
+        jnp.arange(1, MAX_LEN + 2, dtype=jnp.int32),
+    )
+    first_code = jnp.concatenate(
+        [jnp.zeros((1, C), jnp.int32), fc], 0).T  # (C, 33), index by l
+    start_index = jnp.concatenate(
+        [jnp.zeros((C, 1), jnp.int32), jnp.cumsum(bl_count[:, :-1], axis=1)],
+        axis=1)  # (C, 33): position of first symbol of length l
+
+    key = jnp.where(lens > 0, lens, MAX_LEN + 1) * N_SYM + jnp.arange(N_SYM)
+    canon_syms = jnp.argsort(key, axis=1).astype(jnp.int32)
+    return first_code, start_index, canon_syms
+
+
+def assign_codes(lens: jax.Array) -> jax.Array:
+    """codes (C, 256) u32, right-aligned, from the canonical tables."""
+    C = lens.shape[0]
+    cvec = jnp.arange(C, dtype=jnp.int32)
+    first_code, start_index, canon_syms = canonical_tables(lens)
+    pos = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
+    l_of = jnp.take_along_axis(lens, canon_syms, 1)  # length in canon order
+    code_in_order = (
+        jnp.take_along_axis(first_code, l_of, 1)
+        + pos
+        - jnp.take_along_axis(start_index, l_of, 1)
+    )
+    codes = jnp.zeros((C, N_SYM), jnp.int32)
+    codes = codes.at[cvec[:, None], canon_syms].set(
+        jnp.where(l_of > 0, code_in_order, 0))
+    return codes.astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "lane"))
+def canonical_encode_batch(
+    data: jax.Array, lengths: jax.Array, n_words: int, lane: int = 512
+):
+    """Encode (C, L) chunks. Returns (words (C, n_words), total_bits (C,),
+    lens_tables (C, 256) uint8, lane_bits (C, L//lane) u32)."""
+    C, L = data.shape
+    if L % lane:
+        raise ValueError("chunk length must divide by the lane size")
+    counts = histogram(data, lengths)
+    lens = build_lengths(counts)
+    codes = assign_codes(lens)
+
+    sym = data.astype(jnp.int32)
+    code_per = jnp.take_along_axis(codes, sym, 1)  # (C, L)
+    len_per = jnp.take_along_axis(lens, sym, 1)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = idx < lengths[:, None]
+    len_per = jnp.where(valid, len_per, 0)
+    code_per = jnp.where(valid, code_per, 0)
+
+    lane_bits = jnp.sum(
+        len_per.reshape(C, L // lane, lane), axis=2).astype(jnp.uint32)
+    pack = jax.vmap(lambda lo, ln: pack_codes(
+        lo, jnp.zeros_like(lo), ln, n_words))
+    words, total = pack(code_per.astype(jnp.uint32), len_per)
+    return words, total, lens.astype(jnp.uint8), lane_bits
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("lane", "out_len"))
+def canonical_decode_batch(
+    words: jax.Array,
+    lens_tables: jax.Array,
+    lane_bits: jax.Array,
+    lengths: jax.Array,
+    lane: int = 512,
+    out_len: int = 0,
+):
+    """Decode (C, W) word streams back to (C, out_len) symbols.
+
+    Lanes decode independently: lane k of chunk c starts at bit offset
+    cumsum(lane_bits)[k-1] and holds symbols [k*lane, (k+1)*lane) of the
+    chunk (clipped by the chunk's symbol count)."""
+    C, W = words.shape
+    n_lanes = lane_bits.shape[1]
+    if out_len <= 0:
+        raise ValueError("canonical_decode_batch needs static out_len")
+    lens = lens_tables.astype(jnp.int32)
+    first_code, start_index, canon_syms = canonical_tables(lens)
+
+    # per-length exclusive upper boundary: a codeword of length l satisfies
+    # (w >> (32-l)) < first_code[l] + bl_count[l], and for every shorter l'
+    # the prefix value is >= that boundary — so the code length is the FIRST
+    # l whose boundary test passes (empty lengths have boundary == their
+    # predecessor's and can never be first). Comparing in code space (not
+    # left-justified-window space) avoids 32-bit shift overflow entirely.
+    lvec = jnp.arange(1, MAX_LEN + 1, dtype=jnp.int32)[None, :]  # (1, 31)
+    bl_count = jnp.diff(start_index, axis=1)  # (C, 32): counts per length l=0..31
+    bound = first_code[:, 1 : MAX_LEN + 1] + bl_count[:, 1 : MAX_LEN + 1]
+
+    off0 = jnp.cumsum(lane_bits, axis=1) - lane_bits  # (C, n_lanes) u32
+    lane_syms = jnp.clip(
+        lengths[:, None] - jnp.arange(n_lanes, dtype=jnp.int32)[None, :] * lane,
+        0, lane,
+    )
+
+    cvec = jnp.arange(C, dtype=jnp.int32)[:, None]  # (C, 1)
+
+    def read32(pos):
+        """32-bit window at absolute bit position pos (C, n_lanes)."""
+        i = (pos >> 5).astype(jnp.int32)
+        r = (pos & 31).astype(jnp.uint32)
+        w0 = words[cvec, jnp.clip(i, 0, W - 1)]
+        w1 = words[cvec, jnp.clip(i + 1, 0, W - 1)]
+        lo = jnp.where(r == 0, jnp.uint32(0), w1 >> (32 - r))
+        return jnp.where(r == 0, w0, (w0 << r) | lo)
+
+    def step(pos, k):
+        w = read32(pos)  # (C, n_lanes)
+        v = (w[:, :, None] >> (32 - lvec)[None, :, :].astype(jnp.uint32))
+        sel = v.astype(jnp.int32) < bound[:, None, :]  # (C, n_lanes, 31)
+        l = 1 + jnp.argmax(sel, axis=2).astype(jnp.int32)  # first true
+        v = (w >> (32 - l).astype(jnp.uint32)).astype(jnp.int32)
+        idx = (jnp.take_along_axis(start_index, l, 1)
+               + v - jnp.take_along_axis(first_code, l, 1))
+        sym = jnp.take_along_axis(
+            canon_syms, jnp.clip(idx, 0, N_SYM - 1), 1)
+        ok = k < lane_syms
+        pos = jnp.where(ok, pos + l.astype(jnp.uint32), pos)
+        return pos, jnp.where(ok, sym, 0).astype(jnp.uint8)
+
+    _, out = jax.lax.scan(step, off0, jnp.arange(lane, dtype=jnp.int32))
+    # out: (lane, C, n_lanes) -> (C, n_lanes, lane) -> (C, L)
+    out = jnp.transpose(out, (1, 2, 0)).reshape(C, n_lanes * lane)
+    return out[:, :out_len]

@@ -20,14 +20,19 @@ def _image(w=64, h=48):
 
 
 CONFIGS = [
-    CodecConfig(chunk_size=256),
-    CodecConfig(use_diff=True, chunk_size=256),
-    CodecConfig(use_adapt=True, width=64, chunk_size=256),
-    CodecConfig(use_diff=True, use_adapt=True, width=64, chunk_size=256),
+    CodecConfig(chunk_size=256, lane=64),
+    CodecConfig(use_diff=True, chunk_size=256, lane=64),
+    CodecConfig(use_adapt=True, width=64, chunk_size=256, lane=64),
+    CodecConfig(use_diff=True, use_adapt=True, width=64, chunk_size=256,
+                lane=64),
+    CodecConfig(use_diff=True, chunk_size=256, entropy="fgk"),
+    CodecConfig(use_diff=True, use_adapt=True, width=64, chunk_size=256,
+                entropy="fgk"),
 ]
 
 
-@pytest.mark.parametrize("cfg", CONFIGS, ids=["none", "m", "a", "am"])
+@pytest.mark.parametrize("cfg", CONFIGS,
+                         ids=["none", "m", "a", "am", "m-fgk", "am-fgk"])
 def test_v3_roundtrip(cfg):
     data = _image()
     codec = TPUCodec(cfg)
@@ -42,7 +47,7 @@ def test_v3_empty():
 
 def test_v3_incompressible():
     data = RNG.integers(0, 256, 800, dtype=np.uint8).tobytes()
-    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=128))
+    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=128, lane=64))
     assert codec.decode(codec.encode(data)) == data
 
 
@@ -100,5 +105,5 @@ def test_entry_compiles():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    words, bits, total = jax.jit(fn)(*args)
-    assert int(total) > 0
+    out = jax.jit(fn)(*args)
+    assert int(out[-1]) > 0  # transformed total
