@@ -14,11 +14,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the codec's kernels take minutes to
+# compile through the remote-TPU tunnel; cache them across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hctpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REPO = pathlib.Path(__file__).resolve().parent
 DATA = pathlib.Path("/root/reference/data")

@@ -23,7 +23,7 @@ v3 wire layout (all little-endian; contrast v1's mixed LE/BE, SURVEY.md §2.6):
     magic "HCTPU\\x03" | version u8 | flags u8 (bit7 diff, bit6 adapt)
     entropy u8 (0 fgk, 1 canonical)
     orig_size u64 | transformed_size u64 | chunk_size u32 | n_chunks u32
-    lane u32
+    lane u32 | crc32 u32 (of the original data — integrity check on decode)
     [adapt only] W u64 | H u64 | bs u64 | n_tiles u32
                  scanDir bits (ceil(nt/8) bytes, MSB-first)
                  tile_lens u32 * n_tiles
@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import struct
+import zlib
 from dataclasses import dataclass
 
 import jax
@@ -215,7 +216,8 @@ class TPUCodec:
             if n % cfg.width:
                 raise ValueError("invalid size of input 2D data")  # exit 6
         if n == 0:
-            return self._container(b"", 0, 0, [], None, None, None)
+            return self._container(b"", 0, 0, [], None, None, None,
+                                   zlib.crc32(b""))
         x = jnp.asarray(np.frombuffer(data, np.uint8))
         cs = cfg.chunk_size
         cap = rle_max_encoded_len(n) + 64
@@ -246,18 +248,19 @@ class TPUCodec:
         lanes_np = (np.asarray(lane_bits)[:n_chunks]
                     if lane_bits is not None else None)
         return self._container(b"".join(streams), n, total, bits_np.tolist(),
-                               adapt_meta, tables_np, lanes_np)
+                               adapt_meta, tables_np, lanes_np,
+                               zlib.crc32(data))
 
     def _container(self, payload, orig, total, chunk_bits, adapt_meta,
-                   tables, lane_bits) -> bytes:
+                   tables, lane_bits, crc=0) -> bytes:
         cfg = self.config
         out = bytearray()
         out += V3_MAGIC
         out.append(1)
         out.append(cfg.flags())
         out.append(_ENTROPY[cfg.entropy])
-        out += struct.pack("<QQIII", orig, total, cfg.chunk_size,
-                           len(chunk_bits), cfg.lane)
+        out += struct.pack("<QQIIII", orig, total, cfg.chunk_size,
+                           len(chunk_bits), cfg.lane, crc)
         if cfg.use_adapt and adapt_meta is not None:
             w, h, bs, dirs, tile_lens = adapt_meta
             nt = len(tile_lens)
@@ -309,19 +312,23 @@ class TPUCodec:
             if int(m) != hdr["orig"]:
                 raise ValueError("corrupt v3 container: size mismatch")
             out = np.asarray(dec)[: hdr["orig"]]
-        return out.tobytes()
+        result = out.tobytes()
+        if zlib.crc32(result) != hdr["crc"]:
+            raise ValueError("v3 container integrity check failed (crc32)")
+        return result
 
     @staticmethod
     def _parse(blob: bytes) -> dict:
-        if len(blob) < 37 or blob[:6] != V3_MAGIC or blob[6] != 1:
+        if len(blob) < 41 or blob[:6] != V3_MAGIC or blob[6] != 1:
             raise ValueError("invalid v3 container")
         flags = blob[7]
         entropy = blob[8]
-        orig, total, chunk_size, n_chunks, lane = struct.unpack_from(
-            "<QQIII", blob, 9)
-        pos = 37
+        orig, total, chunk_size, n_chunks, lane, crc = struct.unpack_from(
+            "<QQIIII", blob, 9)
+        pos = 41
         hdr = dict(flags=flags, entropy=entropy, orig=orig, total=total,
-                   chunk_size=chunk_size, n_chunks=n_chunks, lane=lane)
+                   chunk_size=chunk_size, n_chunks=n_chunks, lane=lane,
+                   crc=crc)
         if flags & FLAG_ADAPT and orig:
             w, h, bs, nt = struct.unpack_from("<QQQI", blob, pos)
             pos += 28

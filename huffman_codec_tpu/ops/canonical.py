@@ -48,15 +48,18 @@ BIG = jnp.int32(0x3FFFFFFF)
 
 
 def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
-    """counts (C, 256) of the valid prefix of each chunk row."""
+    """counts (C, 256) of the valid prefix of each chunk row.
+
+    Broadcast-compare + reduce, NOT scatter-add: XLA lowers scatters with
+    colliding indices to a serial loop on TPU (measured ~300x slower), while
+    the (C, L, 256) compare fuses into a vectorized reduction loop."""
     C, L = data.shape
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = idx < lengths[:, None]
-    cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, L))
-    sym = jnp.where(valid, data.astype(jnp.int32), 0)
-    ones = valid.astype(jnp.int32)
-    out = jnp.zeros((C, N_SYM), jnp.int32)
-    return out.at[cid.reshape(-1), sym.reshape(-1)].add(ones.reshape(-1))
+    sym = data.astype(jnp.int32)
+    v = jnp.arange(N_SYM, dtype=jnp.int32)
+    eq = (sym[:, :, None] == v[None, None, :]) & valid[:, :, None]
+    return jnp.sum(eq, axis=1, dtype=jnp.int32)
 
 
 def build_lengths(counts: jax.Array) -> jax.Array:
@@ -211,8 +214,18 @@ def canonical_encode_batch(
     codes = assign_codes(lens)
 
     sym = data.astype(jnp.int32)
-    code_per = jnp.take_along_axis(codes, sym, 1)  # (C, L)
-    len_per = jnp.take_along_axis(lens, sym, 1)
+    # one packed gather instead of two: code in bits 0..25, len in 26..30
+    # (codes are < 2^26 whenever the max code length is <= 26, which the
+    # Fibonacci bound guarantees for chunks <= 196k symbols; longer chunks
+    # fall back to two gathers)
+    if L <= 196_418:
+        packed = codes.astype(jnp.int32) | (lens << 26)
+        per = jnp.take_along_axis(packed, sym, 1)  # (C, L)
+        code_per = per & ((1 << 26) - 1)
+        len_per = per >> 26
+    else:
+        code_per = jnp.take_along_axis(codes.astype(jnp.int32), sym, 1)
+        len_per = jnp.take_along_axis(lens, sym, 1)
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = idx < lengths[:, None]
     len_per = jnp.where(valid, len_per, 0)

@@ -38,34 +38,83 @@ def _shr32(x: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.where(s >= 32, jnp.uint32(0), x >> jnp.minimum(s, 31))
 
 
-def pack_codes(
-    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter codes into a big-endian u32 word stream.
+def _code_windows(lo, hi, lens):
+    """Per-symbol 3-word window contributions + target word indices.
 
-    Each code is a right-aligned value ``(hi << 32) | lo`` of ``lens[i]``
-    bits (MSB of the code = bit lens[i]-1). Returns (words u32[n_words],
-    total_bits). Zero-length codes must come with zero value words.
-    """
+    Symbol i's code lands at bit offset off[i]; its bits span at most 3 u32
+    words starting at ``off >> 5``. Returns (win (n,3) u32, w0 (n,) i32,
+    total_bits)."""
     lens = lens.astype(jnp.int32)
     off = jnp.cumsum(lens) - lens  # exclusive
     total = off[-1] + lens[-1] if lens.shape[0] else jnp.int32(0)
     w0 = off >> 5
     r = off & 31
-    # place v in a 96-bit window starting at word w0: W = v << s
+    # place v in a 96-bit window starting at word w0: W = v << s. The
+    # window register is conceptually [0, hi, lo, 0, 0, 0]; rather than
+    # gathering from it (TPU runs dynamic per-element gathers ~100x slower
+    # than VPU selects — profiled), select among the three possible values
+    # arithmetically.
     s = 96 - r - lens
     big, small = s >> 5, (s & 31).astype(jnp.uint32)
-    # registers of the window before shifting: [0, hi, lo, 0, 0, 0]
+    hi = hi.astype(jnp.uint32)
+    lo = lo.astype(jnp.uint32)
     zero = jnp.zeros_like(lo)
-    reg = jnp.stack([zero, hi.astype(jnp.uint32), lo.astype(jnp.uint32),
-                     zero, zero, zero], axis=-1)  # (n, 6)
+
+    def reg_at(g):  # value of the window register at index g, elementwise
+        return jnp.where(g == 1, hi[:, None],
+                         jnp.where(g == 2, lo[:, None], zero[:, None]))
+
     j = jnp.arange(3, dtype=jnp.int32)  # window word index
-    gidx = jnp.clip(j[None, :] + big[:, None], 0, 5)
-    a = jnp.take_along_axis(reg, gidx, axis=-1)
-    b = jnp.take_along_axis(reg, jnp.clip(gidx + 1, 0, 5), axis=-1)
+    g = j[None, :] + big[:, None]  # (n, 3)
+    a = reg_at(g)
+    b = reg_at(g + 1)
     sm = small[:, None]
     win = _shl32(a, sm) | jnp.where(sm == 0, jnp.uint32(0), _shr32(b, 32 - sm))
+    win = jnp.where(lens[:, None] > 0, win, 0)
+    return win, w0, total
+
+
+def pack_codes_segsum(
+    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble codes into a big-endian u32 word stream — scatter-free.
+
+    Each code is a right-aligned value ``(hi << 32) | lo`` of ``lens[i]``
+    bits (MSB of the code = bit lens[i]-1). Returns (words u32[n_words],
+    total_bits). Zero-length codes must come with zero value words.
+
+    XLA serializes colliding-index scatters on TPU, so instead of
+    scatter-OR this uses a sorted segment-sum identity: for each of the 3
+    window columns j, the target word indices ``w0 + j`` are nondecreasing
+    in symbol order, and all contributions to one output word have DISJOINT
+    bits (sum == or, and each word's segment sum fits u32 exactly — modular
+    cumsum differences are exact). So words[w] = sum over three columns of
+    cumsum-range lookups located with two fused binary searches per word.
+    """
+    win, w0, total = _code_windows(lo, hi, lens)
+    out = jnp.zeros((n_words,), jnp.uint32)
+    w = jnp.arange(n_words, dtype=jnp.int32)
+    for j in range(3):
+        idx = w0 + j  # nondecreasing
+        csum = jnp.cumsum(win[:, j], dtype=jnp.uint32)
+        hi_i = jnp.searchsorted(idx, w, side="right").astype(jnp.int32) - 1
+        lo_i = jnp.searchsorted(idx, w, side="left").astype(jnp.int32)
+        seg_hi = csum[jnp.clip(hi_i, 0, None)]
+        seg_lo = jnp.where(lo_i > 0, csum[jnp.clip(lo_i - 1, 0, None)], 0)
+        out = out + jnp.where(hi_i >= lo_i, seg_hi - seg_lo, 0)
+    return out, total
+
+
+def pack_codes(
+    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-add formulation — the default: contributions have disjoint
+    bits so add == or; measured faster than the segment-sum form on TPU
+    (the searchsorted binary searches lose to the hardware scatter here)."""
+    win, w0, total = _code_windows(lo, hi, lens)
+    lens = lens.astype(jnp.int32)
     words = jnp.zeros((n_words,), jnp.uint32)
+    j = jnp.arange(3, dtype=jnp.int32)
     idx = w0[:, None] + j[None, :]
     idx = jnp.where(lens[:, None] > 0, idx, n_words)  # drop empty codes
     words = words.at[idx.reshape(-1)].add(win.reshape(-1), mode="drop")
