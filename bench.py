@@ -1,13 +1,14 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Measures the flagship v3 device encode pipeline (diff -> vectorized RLE ->
-chunk-parallel FGK -> bit pack, all inside one jit) on the default JAX
-platform (the real TPU chip under the driver; CPU elsewhere), steady-state
-(post-compile), median of --runs executions.
+Measures the flagship v3 device pipeline (diff -> vectorized RLE ->
+chunk-parallel canonical Huffman -> bit pack, all inside one jit) on the
+default JAX platform (the real TPU chip under the driver), steady-state
+(post-compile), median of --runs executions. Decode throughput and the
+compression ratio are reported in the detail block.
 
 vs_baseline compares against the upstream C++ binary's measured encode
-throughput on the same file/config on this machine (BASELINE.md §C:
-hd01.raw with the diff model = 0.67 MB/s).
+throughput on this machine (BASELINE.md §C: hd01.raw with the diff model
+= 0.67 MB/s — the reference is 0.1-1 MB/s across the corpus).
 """
 
 from __future__ import annotations
@@ -26,35 +27,42 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hctpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-REPO = pathlib.Path(__file__).resolve().parent
 DATA = pathlib.Path("/root/reference/data")
-
 BASELINE_ENCODE_MBPS = 0.67  # reference hd01.raw -m encode (BASELINE.md §C)
+
+
+def _load_input(spec: str) -> tuple[bytes, str]:
+    if spec == "corpus":
+        files = sorted(DATA.glob("*.raw"))
+        return b"".join(f.read_bytes() for f in files), "corpus-concat"
+    p = pathlib.Path(spec)
+    return p.read_bytes(), p.name
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--file", default=str(DATA / "hd01.raw"))
+    ap.add_argument("--file", default="corpus",
+                    help="input path, or 'corpus' for the concatenated "
+                         "reference corpus (~3.4 MB)")
     ap.add_argument("--chunk-size", type=int, default=1 << 16)
     ap.add_argument("--entropy", default="canonical",
                     choices=["canonical", "fgk"])
     ap.add_argument("--lane", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--verify", action="store_true",
-                    help="also round-trip the container on a small slice")
+    ap.add_argument("--skip-decode", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from huffman_codec_tpu.models import CodecConfig, TPUCodec
     from huffman_codec_tpu.models.chunked import _encode_stream_stage
     from huffman_codec_tpu.ops.rle import rle_max_encoded_len
 
-    raw = pathlib.Path(args.file).read_bytes()
+    raw, name = _load_input(args.file)
     n = len(raw)
     cs = args.chunk_size
     max_chunks = -(-(rle_max_encoded_len(n) + 64) // cs)
-
     data = jnp.asarray(np.frombuffer(raw, np.uint8))
 
     def run():
@@ -72,27 +80,34 @@ def main() -> int:
     dt = sorted(times)[len(times) // 2]
     mbps = n / dt / 1e6
 
-    if args.verify:
-        from huffman_codec_tpu.models import CodecConfig, TPUCodec
+    detail = {
+        "file": name,
+        "bytes": n,
+        "chunk_size": cs,
+        "entropy": args.entropy,
+        "median_s": round(dt, 4),
+        "platform": jax.devices()[0].platform,
+    }
 
-        codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=cs,
-                                     entropy=args.entropy, lane=args.lane))
-        blob = codec.encode(raw[: 1 << 16])
-        assert codec.decode(blob) == raw[: 1 << 16], "roundtrip failed"
+    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=cs,
+                                 entropy=args.entropy, lane=args.lane))
+    blob = codec.encode(raw)
+    detail["bpc"] = round(8 * len(blob) / n, 3)
+    if not args.skip_decode:
+        assert codec.decode(blob) == raw, "roundtrip failed"
+        dts = []
+        for _ in range(max(1, args.runs - 2)):
+            t0 = time.perf_counter()
+            codec.decode(blob)
+            dts.append(time.perf_counter() - t0)
+        detail["decode_mbps"] = round(n / sorted(dts)[len(dts) // 2] / 1e6, 3)
 
     print(json.dumps({
         "metric": "v3_device_encode_throughput",
         "value": round(mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(mbps / BASELINE_ENCODE_MBPS, 2),
-        "detail": {
-            "file": pathlib.Path(args.file).name,
-            "bytes": n,
-            "chunk_size": cs,
-            "entropy": args.entropy,
-            "median_s": round(dt, 4),
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }))
     return 0
 

@@ -41,9 +41,12 @@ FRAMEWORK OPTIONS:
   --format {v1,v2,v3}            container format (default: v1)
   --chunk-size N                 chunk bytes for v2/v3 (default: 65536)
   --threads N                    host threads for the native runtime
+  --entropy {canonical,fgk}      v3 entropy mode (default: canonical)
+  --lane N                       v3 canonical decode lane size (default: 512)
 """
 
-_LONG = ["backend=", "format=", "chunk-size=", "threads="]
+_LONG = ["backend=", "format=", "chunk-size=", "threads=",
+         "entropy=", "lane="]
 
 
 def _cerrh(msg: str) -> None:
@@ -63,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     fmt = "v1"
     chunk_size = 1 << 16
     threads = 0
+    entropy = "canonical"
+    lane = 512
 
     try:
         opts, _ = getopt.getopt(argv, ":cdmai:o:w:h", _LONG)
@@ -102,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size = int(val)
         elif opt == "--threads":
             threads = int(val)
+        elif opt == "--entropy":
+            entropy = val
+        elif opt == "--lane":
+            lane = int(val)
 
     if ifp is None:
         _cerrh("ERROR: no input file path provided\n")
@@ -118,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         out = _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
-                   chunk_size, threads)
+                   chunk_size, threads, entropy, lane)
     except _CodecFailure as e:
         sys.stderr.write(f"ERROR: {e.message}\n")
         return e.code
@@ -141,7 +150,7 @@ class _CodecFailure(Exception):
 
 
 def _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
-         chunk_size, threads) -> bytes:
+         chunk_size, threads, entropy="canonical", lane=512) -> bytes:
     if fmt == "v1" and backend == "native":
         try:
             from huffman_codec_tpu.native import runtime
@@ -164,7 +173,8 @@ def _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
 
             codec = TPUCodec(CodecConfig(use_diff=use_diff,
                                          use_adapt=use_adapt, width=width,
-                                         chunk_size=chunk_size))
+                                         chunk_size=chunk_size,
+                                         entropy=entropy, lane=lane))
             return codec.encode(data) if use_compr else codec.decode(data)
         raise _CodecFailure(2, "unrecognized container format")
     except _CodecFailure:

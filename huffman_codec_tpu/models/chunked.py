@@ -48,6 +48,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from huffman_codec_tpu.formats import FLAG_ADAPT, FLAG_DIFF
+
+FLAG_SHARDED = 0x20  # v3-only: transforms applied per input chunk
 from huffman_codec_tpu.ops.adapt import (
     ADAPT_HEADER_BYTES,
     adapt_decode_tiled,
@@ -62,7 +64,6 @@ from huffman_codec_tpu.ops.canonical import (
 )
 from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch, max_code_bits
-from huffman_codec_tpu.ops.pack import bytes_to_words, words_to_bytes
 from huffman_codec_tpu.ops.rle import rle_decode, rle_encode
 
 V3_MAGIC = b"HCTPU\x03"
@@ -82,15 +83,26 @@ class CodecConfig:
     chunk_size: int = 1 << 16
     entropy: str = "canonical"  # "canonical" | "fgk"
     lane: int = 512  # canonical decode parallel granularity
+    layout: str = "global"  # "global" | "sharded" (per-chunk transforms)
 
     def flags(self) -> int:
-        return (FLAG_DIFF if self.use_diff else 0) | (
-            FLAG_ADAPT if self.use_adapt else 0
-        )
+        return ((FLAG_DIFF if self.use_diff else 0)
+                | (FLAG_ADAPT if self.use_adapt else 0)
+                | (FLAG_SHARDED if self.layout == "sharded" else 0))
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+def _np_words_to_bytes(words: np.ndarray, n_bytes: int) -> bytes:
+    """Big-endian u32 word stream -> wire bytes (host-side, zero-copy-ish)."""
+    return words.astype(">u4").tobytes()[:n_bytes]
+
+
+def _np_bytes_to_words(data: np.ndarray, n_words: int) -> np.ndarray:
+    buf = np.zeros(n_words * 4, np.uint8)
+    buf[: data.shape[0]] = data
+    return buf.view(">u4").astype(np.uint32)
 
 
 def _n_words_for(chunk_size: int, entropy: str) -> int:
@@ -160,6 +172,64 @@ def _encode_adapt_stage(data, use_diff: bool, width: int, height: int,
     return (*enc, tile_total, dirs, tile_lens)
 
 
+def _sharded_cap(chunk_size: int, entropy: str, lane: int) -> int:
+    """Padded per-chunk RLE buffer length (lane-aligned for canonical)."""
+    cap = rle_max_encoded_len(chunk_size)
+    return -(-cap // lane) * lane if entropy == "canonical" else cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_diff", "chunk_size", "n_chunks", "entropy", "lane"),
+)
+def _encode_sharded_stage(data, length, use_diff: bool, chunk_size: int,
+                          n_chunks: int, entropy: str, lane: int):
+    """Per-chunk diff (with carry) -> per-chunk RLE -> chunked entropy.
+
+    The sharded layout of parallel/mesh.py as a serializable container:
+    every chunk is decodable alone given its manifest row, so decode (and
+    random access) parallelize exactly like encode. RLE streams restart at
+    chunk boundaries; the diff model carries one byte per chunk (stored in
+    the manifest for random access). Returns (words, bits, tables,
+    lane_bits, rle_lens, carries)."""
+    chunks = data.reshape(n_chunks, chunk_size)
+    in_lens = jnp.clip(
+        length - jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size,
+        0, chunk_size,
+    )
+    cap = _sharded_cap(chunk_size, entropy, lane)
+    # interior chunks are always full, so [:, -1] is the carry byte; only
+    # the (zero-length) chunks after a partial tail see garbage, and their
+    # output is masked by in_lens == 0
+    carries = jnp.concatenate([jnp.zeros((1,), jnp.uint8), chunks[:-1, -1]])
+    if use_diff:
+        prev = jnp.concatenate([carries[:, None], chunks[:, :-1]], axis=1)
+        work = (chunks - prev).astype(jnp.uint8)
+    else:
+        work = chunks
+    enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
+    rle_streams, rle_lens = enc(work, in_lens)
+    n_words = _n_words_for(cap, entropy)
+    out = _entropy_encode(rle_streams, rle_lens, entropy, n_words, lane)
+    return (*out, rle_lens, carries)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk_size", "cap", "use_diff")
+)
+def _decode_sharded_tail(chunks_rle, rle_lens, in_lens, chunk_size: int,
+                         cap: int, use_diff: bool):
+    """Per-chunk RLE decode + one global diff revert (cumsum)."""
+    dec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=chunk_size)[0])
+    out = dec(chunks_rle, rle_lens)
+    flat = out.reshape(-1)
+    if use_diff:
+        idx = jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
+        mask = (idx < in_lens[:, None]).reshape(-1)
+        flat = diff_revert(jnp.where(mask, flat, 0))
+    return flat
+
+
 def _entropy_decode(words, counts, hdr, chunk_size):
     if hdr["entropy"] == ENTROPY_CANONICAL:
         return canonical_decode_batch(
@@ -204,6 +274,11 @@ class TPUCodec:
         if (self.config.entropy == "canonical"
                 and self.config.chunk_size % self.config.lane):
             raise ValueError("chunk_size must divide by lane")
+        if self.config.layout not in ("global", "sharded"):
+            raise ValueError(f"unknown layout {self.config.layout}")
+        if self.config.layout == "sharded" and self.config.use_adapt:
+            raise ValueError("sharded layout supports stream mode only "
+                             "(adaptive tiles are already independent)")
 
     # -- encode -------------------------------------------------------------
 
@@ -217,42 +292,55 @@ class TPUCodec:
                 raise ValueError("invalid size of input 2D data")  # exit 6
         if n == 0:
             return self._container(b"", 0, 0, [], None, None, None,
-                                   zlib.crc32(b""))
-        x = jnp.asarray(np.frombuffer(data, np.uint8))
+                                   None, zlib.crc32(b""))
         cs = cfg.chunk_size
-        cap = rle_max_encoded_len(n) + 64
-        max_chunks = _cdiv(cap, cs)
-        if cfg.use_adapt:
-            w, h = cfg.width, n // cfg.width
-            sizes = np.asarray(adapt_search_sizes(x, w, h))
-            bs = candidate_sizes(w, h)[int(np.argmin(sizes))]
-            words, bits, tables, lane_bits, total, dirs, tile_lens = (
-                _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs, max_chunks,
-                                    cfg.entropy, cfg.lane))
-            adapt_meta = (w, h, bs, np.asarray(dirs), np.asarray(tile_lens))
-        else:
-            words, bits, tables, lane_bits, total = _encode_stream_stage(
-                x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
+        sharded_meta = None
+        if cfg.layout == "sharded":
+            n_chunks = _cdiv(n, cs)
+            padded = np.zeros(n_chunks * cs, np.uint8)
+            padded[:n] = np.frombuffer(data, np.uint8)
+            words, bits, tables, lane_bits, rle_lens, carries = (
+                _encode_sharded_stage(jnp.asarray(padded), jnp.int32(n),
+                                      cfg.use_diff, cs, n_chunks,
+                                      cfg.entropy, cfg.lane))
+            total = int(np.asarray(rle_lens).sum())
+            sharded_meta = (np.asarray(rle_lens), np.asarray(carries))
             adapt_meta = None
-        total = int(total)
-        n_chunks = _cdiv(total, cs)
+        else:
+            x = jnp.asarray(np.frombuffer(data, np.uint8))
+            cap = rle_max_encoded_len(n) + 64
+            max_chunks = _cdiv(cap, cs)
+            if cfg.use_adapt:
+                w, h = cfg.width, n // cfg.width
+                sizes = np.asarray(adapt_search_sizes(x, w, h))
+                bs = candidate_sizes(w, h)[int(np.argmin(sizes))]
+                words, bits, tables, lane_bits, total, dirs, tile_lens = (
+                    _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
+                                        max_chunks, cfg.entropy, cfg.lane))
+                adapt_meta = (w, h, bs, np.asarray(dirs),
+                              np.asarray(tile_lens))
+            else:
+                words, bits, tables, lane_bits, total = _encode_stream_stage(
+                    x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
+                adapt_meta = None
+            total = int(total)
+            n_chunks = _cdiv(total, cs)
         bits_np = np.asarray(bits)[:n_chunks]
+        words_np = np.asarray(words[:n_chunks])
         streams = []
         for c in range(n_chunks):
             nb = (int(bits_np[c]) + 7) // 8
-            streams.append(
-                np.asarray(words_to_bytes(words[c], max(1, nb)))[:nb].tobytes()
-            )
+            streams.append(_np_words_to_bytes(words_np[c], nb))
         tables_np = (np.asarray(tables)[:n_chunks]
                      if tables is not None else None)
         lanes_np = (np.asarray(lane_bits)[:n_chunks]
                     if lane_bits is not None else None)
         return self._container(b"".join(streams), n, total, bits_np.tolist(),
                                adapt_meta, tables_np, lanes_np,
-                               zlib.crc32(data))
+                               sharded_meta, zlib.crc32(data))
 
     def _container(self, payload, orig, total, chunk_bits, adapt_meta,
-                   tables, lane_bits, crc=0) -> bytes:
+                   tables, lane_bits, sharded_meta, crc=0) -> bytes:
         cfg = self.config
         out = bytearray()
         out += V3_MAGIC
@@ -269,6 +357,10 @@ class TPUCodec:
             out += np.asarray(tile_lens, "<u4").tobytes()
         for b in chunk_bits:
             out += struct.pack("<Q", int(b))
+        if sharded_meta is not None:
+            rle_lens, carries = sharded_meta
+            out += np.asarray(rle_lens, "<u4").tobytes()
+            out += np.asarray(carries, np.uint8).tobytes()
         if cfg.entropy == "canonical" and tables is not None:
             out += np.asarray(tables, np.uint8).tobytes()
             out += np.asarray(lane_bits, "<u4").tobytes()
@@ -277,45 +369,104 @@ class TPUCodec:
 
     # -- decode -------------------------------------------------------------
 
+    def _load_words(self, blob, hdr, c0=0, c1=None):
+        """Payload byte streams -> padded u32 word matrix for chunks
+        [c0, c1) (the manifest makes any chunk range addressable)."""
+        cs = hdr["chunk_size"]
+        entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
+        if hdr["flags"] & FLAG_SHARDED:
+            wpc = _n_words_for(_sharded_cap(cs, entropy, hdr["lane"]), entropy)
+        else:
+            wpc = _n_words_for(cs, entropy)
+        c1 = hdr["n_chunks"] if c1 is None else c1
+        words = np.zeros((c1 - c0, wpc), np.uint32)
+        offs = np.cumsum([0] + [(b + 7) // 8 for b in hdr["chunk_bits"]])
+        for c in range(c0, c1):
+            pos = hdr["payload_off"] + int(offs[c])
+            nb = (hdr["chunk_bits"][c] + 7) // 8
+            chunk = np.frombuffer(blob, np.uint8, nb, pos)
+            w = _np_bytes_to_words(chunk, _cdiv(nb, 4))
+            words[c - c0, : w.shape[0]] = w
+        return words
+
     def decode(self, blob: bytes) -> bytes:
         hdr = self._parse(blob)
         if hdr["orig"] == 0:
             return b""
         cs = hdr["chunk_size"]
         n_chunks = hdr["n_chunks"]
-        entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
-        wpc = _n_words_for(cs, entropy)
-        words = np.zeros((n_chunks, wpc), np.uint32)
-        pos = hdr["payload_off"]
-        for c in range(n_chunks):
-            nb = (hdr["chunk_bits"][c] + 7) // 8
-            chunk = np.frombuffer(blob, np.uint8, nb, pos)
-            pos += nb
-            w = np.asarray(bytes_to_words(jnp.asarray(chunk), _cdiv(nb, 4)))
-            words[c, : w.shape[0]] = w
-        counts = jnp.asarray(np.clip(
-            hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
-        ).astype(np.int32))
-        chunks = _entropy_decode(words, counts, hdr, cs)
-        stream = chunks.reshape(-1)
+        words = self._load_words(blob, hdr)
         use_diff = bool(hdr["flags"] & FLAG_DIFF)
-        if hdr["flags"] & FLAG_ADAPT:
-            flat = _decode_adapt_tail(
-                stream, jnp.asarray(hdr["tile_lens"].astype(np.int32)),
-                jnp.asarray(hdr["dirs"]), hdr["w"], hdr["h"], hdr["bs"],
-                use_diff,
-            )
+        if hdr["flags"] & FLAG_SHARDED:
+            entropy = ("canonical" if hdr["entropy"] == ENTROPY_CANONICAL
+                       else "fgk")
+            cap = _sharded_cap(cs, entropy, hdr["lane"])
+            rle_lens = jnp.asarray(hdr["rle_lens"].astype(np.int32))
+            chunks_rle = _entropy_decode(words, rle_lens, hdr, cap)
+            in_lens = jnp.asarray(np.clip(
+                hdr["orig"] - np.arange(n_chunks, dtype=np.int64) * cs,
+                0, cs).astype(np.int32))
+            flat = _decode_sharded_tail(chunks_rle, rle_lens, in_lens,
+                                        cs, cap, use_diff)
             out = np.asarray(flat)[: hdr["orig"]]
         else:
-            dec, m = _decode_stream_tail(
-                stream, jnp.int32(hdr["total"]), hdr["orig"] + 8, use_diff)
-            if int(m) != hdr["orig"]:
-                raise ValueError("corrupt v3 container: size mismatch")
-            out = np.asarray(dec)[: hdr["orig"]]
+            counts = jnp.asarray(np.clip(
+                hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
+            ).astype(np.int32))
+            chunks = _entropy_decode(words, counts, hdr, cs)
+            stream = chunks.reshape(-1)
+            if hdr["flags"] & FLAG_ADAPT:
+                flat = _decode_adapt_tail(
+                    stream, jnp.asarray(hdr["tile_lens"].astype(np.int32)),
+                    jnp.asarray(hdr["dirs"]), hdr["w"], hdr["h"], hdr["bs"],
+                    use_diff,
+                )
+                out = np.asarray(flat)[: hdr["orig"]]
+            else:
+                dec, m = _decode_stream_tail(
+                    stream, jnp.int32(hdr["total"]), hdr["orig"] + 8,
+                    use_diff)
+                if int(m) != hdr["orig"]:
+                    raise ValueError("corrupt v3 container: size mismatch")
+                out = np.asarray(dec)[: hdr["orig"]]
         result = out.tobytes()
         if zlib.crc32(result) != hdr["crc"]:
             raise ValueError("v3 container integrity check failed (crc32)")
         return result
+
+    def decode_range(self, blob: bytes, start: int, length: int) -> bytes:
+        """Random-access decode of ``[start, start+length)`` — sharded
+        layout only: touches just the covering chunks (entropy + RLE per
+        chunk; the stored per-chunk diff carry seeds the local revert).
+        This is the checkpoint/resume primitive for multi-GB corpora
+        (SURVEY.md §5): any byte range is recoverable without a full pass."""
+        hdr = self._parse(blob)
+        if not hdr["flags"] & FLAG_SHARDED:
+            raise ValueError("decode_range requires the sharded layout")
+        if start < 0 or length < 0 or start + length > hdr["orig"]:
+            raise ValueError("range out of bounds")
+        if length == 0:
+            return b""
+        cs = hdr["chunk_size"]
+        c0, c1 = start // cs, (start + length - 1) // cs + 1
+        words = self._load_words(blob, hdr, c0, c1)
+        sub = dict(hdr)
+        if hdr["entropy"] == ENTROPY_CANONICAL:
+            sub["tables"] = hdr["tables"][c0:c1]
+            sub["lane_bits"] = hdr["lane_bits"][c0:c1]
+        entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
+        cap = _sharded_cap(cs, entropy, hdr["lane"])
+        rle_lens = jnp.asarray(hdr["rle_lens"][c0:c1].astype(np.int32))
+        chunks_rle = _entropy_decode(words, rle_lens, sub, cap)
+        dec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=cs)[0])
+        chunks = dec(chunks_rle, rle_lens)
+        if hdr["flags"] & FLAG_DIFF:
+            carries = jnp.asarray(hdr["carries"][c0:c1])
+            rev = jax.vmap(lambda y, cin: diff_revert(y, cin))
+            chunks = rev(chunks, carries)
+        flat = np.asarray(chunks).reshape(-1)
+        lo = start - c0 * cs
+        return flat[lo : lo + length].tobytes()
 
     @staticmethod
     def _parse(blob: bytes) -> dict:
@@ -344,11 +495,20 @@ class TPUCodec:
             struct.unpack_from("<Q", blob, pos + 8 * c)[0] for c in range(n_chunks)
         ]
         pos += 8 * n_chunks
+        if flags & FLAG_SHARDED and n_chunks:
+            rle_lens = np.frombuffer(blob, "<u4", n_chunks, pos).copy()
+            pos += 4 * n_chunks
+            carries = np.frombuffer(blob, np.uint8, n_chunks, pos).copy()
+            pos += n_chunks
+            hdr.update(rle_lens=rle_lens, carries=carries)
         if entropy == ENTROPY_CANONICAL and n_chunks:
+            ename = "canonical"
+            L = (_sharded_cap(chunk_size, ename, lane)
+                 if flags & FLAG_SHARDED else chunk_size)
             tables = np.frombuffer(
                 blob, np.uint8, 256 * n_chunks, pos).reshape(n_chunks, 256)
             pos += 256 * n_chunks
-            lpc = chunk_size // lane
+            lpc = L // lane
             lane_bits = np.frombuffer(
                 blob, "<u4", lpc * n_chunks, pos).reshape(n_chunks, lpc)
             pos += 4 * lpc * n_chunks

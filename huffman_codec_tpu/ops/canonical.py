@@ -234,7 +234,7 @@ def canonical_encode_batch(
     lane_bits = jnp.sum(
         len_per.reshape(C, L // lane, lane), axis=2).astype(jnp.uint32)
     pack = jax.vmap(lambda lo, ln: pack_codes(
-        lo, jnp.zeros_like(lo), ln, n_words))
+        lo, jnp.zeros_like(lo), ln, n_words, max_len=32))
     words, total = pack(code_per.astype(jnp.uint32), len_per)
     return words, total, lens.astype(jnp.uint8), lane_bits
 

@@ -38,34 +38,43 @@ def _shr32(x: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.where(s >= 32, jnp.uint32(0), x >> jnp.minimum(s, 31))
 
 
-def _code_windows(lo, hi, lens):
-    """Per-symbol 3-word window contributions + target word indices.
+def _code_windows(lo, hi, lens, max_len: int = 64):
+    """Per-symbol word-window contributions + target word indices.
 
-    Symbol i's code lands at bit offset off[i]; its bits span at most 3 u32
-    words starting at ``off >> 5``. Returns (win (n,3) u32, w0 (n,) i32,
-    total_bits)."""
+    Symbol i's code lands at bit offset off[i]; its bits span at most
+    ``1 + ceil((max_len + 31) / 32)`` u32 words starting at ``off >> 5`` —
+    2 words when max_len <= 32 (the canonical coder: bit offset within a
+    word <= 31 plus <= 32 code bits never crosses a third word), 3 words
+    for the FGK coder's 64-bit NYT codes. Returns (win (n, W) u32,
+    w0 (n,) i32, total_bits)."""
+    n_win = 2 if max_len <= 32 else 3
     lens = lens.astype(jnp.int32)
     off = jnp.cumsum(lens) - lens  # exclusive
     total = off[-1] + lens[-1] if lens.shape[0] else jnp.int32(0)
     w0 = off >> 5
     r = off & 31
-    # place v in a 96-bit window starting at word w0: W = v << s. The
-    # window register is conceptually [0, hi, lo, 0, 0, 0]; rather than
-    # gathering from it (TPU runs dynamic per-element gathers ~100x slower
-    # than VPU selects — profiled), select among the three possible values
-    # arithmetically.
-    s = 96 - r - lens
+    # place v in the (32 * n_win)-bit window starting at word w0:
+    # W = v << s, s chosen so the code's MSB lands at in-window bit r.
+    # The window register is conceptually [0, hi, lo, 0, ...] (or
+    # [0, lo, 0, 0] for 2-word windows); rather than gathering from it
+    # (TPU runs dynamic per-element gathers ~100x slower than VPU selects —
+    # profiled), select among the possible values arithmetically.
+    s = 32 * n_win - r - lens
     big, small = s >> 5, (s & 31).astype(jnp.uint32)
     hi = hi.astype(jnp.uint32)
     lo = lo.astype(jnp.uint32)
     zero = jnp.zeros_like(lo)
 
-    def reg_at(g):  # value of the window register at index g, elementwise
-        return jnp.where(g == 1, hi[:, None],
-                         jnp.where(g == 2, lo[:, None], zero[:, None]))
+    if n_win == 2:
+        def reg_at(g):  # register [0, lo, 0, 0]
+            return jnp.where(g == 1, lo[:, None], zero[:, None])
+    else:
+        def reg_at(g):  # register [0, hi, lo, 0, 0, 0]
+            return jnp.where(g == 1, hi[:, None],
+                             jnp.where(g == 2, lo[:, None], zero[:, None]))
 
-    j = jnp.arange(3, dtype=jnp.int32)  # window word index
-    g = j[None, :] + big[:, None]  # (n, 3)
+    j = jnp.arange(n_win, dtype=jnp.int32)  # window word index
+    g = j[None, :] + big[:, None]  # (n, n_win)
     a = reg_at(g)
     b = reg_at(g + 1)
     sm = small[:, None]
@@ -75,7 +84,8 @@ def _code_windows(lo, hi, lens):
 
 
 def pack_codes_segsum(
-    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int
+    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int,
+    max_len: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Assemble codes into a big-endian u32 word stream — scatter-free.
 
@@ -91,10 +101,10 @@ def pack_codes_segsum(
     cumsum differences are exact). So words[w] = sum over three columns of
     cumsum-range lookups located with two fused binary searches per word.
     """
-    win, w0, total = _code_windows(lo, hi, lens)
+    win, w0, total = _code_windows(lo, hi, lens, max_len)
     out = jnp.zeros((n_words,), jnp.uint32)
     w = jnp.arange(n_words, dtype=jnp.int32)
-    for j in range(3):
+    for j in range(win.shape[1]):
         idx = w0 + j  # nondecreasing
         csum = jnp.cumsum(win[:, j], dtype=jnp.uint32)
         hi_i = jnp.searchsorted(idx, w, side="right").astype(jnp.int32) - 1
@@ -105,19 +115,69 @@ def pack_codes_segsum(
     return out, total
 
 
-def pack_codes(
-    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int
+def pack_codes_scatter_add(
+    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int,
+    max_len: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter-add formulation — the default: contributions have disjoint
-    bits so add == or; measured faster than the segment-sum form on TPU
-    (the searchsorted binary searches lose to the hardware scatter here)."""
-    win, w0, total = _code_windows(lo, hi, lens)
+    """Colliding scatter-add formulation (contributions have disjoint bits
+    so add == or). XLA serializes colliding scatters on TPU — kept as the
+    reference implementation and for non-TPU backends."""
+    win, w0, total = _code_windows(lo, hi, lens, max_len)
     lens = lens.astype(jnp.int32)
     words = jnp.zeros((n_words,), jnp.uint32)
-    j = jnp.arange(3, dtype=jnp.int32)
+    j = jnp.arange(win.shape[1], dtype=jnp.int32)
     idx = w0[:, None] + j[None, :]
     idx = jnp.where(lens[:, None] > 0, idx, n_words)  # drop empty codes
     words = words.at[idx.reshape(-1)].add(win.reshape(-1), mode="drop")
+    return words, total
+
+
+def _segmented_or(flags: jax.Array, vals: jax.Array) -> jax.Array:
+    """Inclusive segmented OR scan; ``flags[i]`` marks a segment start."""
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va | vb)
+
+    _, out = jax.lax.associative_scan(comb, (flags, vals))
+    return out
+
+
+def pack_codes(
+    lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int,
+    max_len: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble codes into a big-endian u32 word stream — the default.
+
+    Each code is a right-aligned value ``(hi << 32) | lo`` of ``lens[i]``
+    bits (MSB of the code = bit lens[i]-1); zero-length codes must come
+    with zero value words. Pass ``max_len=32`` for <=32-bit codes (2-word
+    windows instead of 3).
+
+    TPU-shaped design: colliding scatters serialize on TPU, so per window
+    column the contributions (whose target words are NONdecreasing in
+    symbol order) are pre-combined with a log-depth segmented-OR
+    ``associative_scan`` over runs of equal target words; each run's last
+    element then lands with a UNIQUE-index scatter-set, which the TPU
+    executes vectorized."""
+    win, w0, total = _code_windows(lo, hi, lens, max_len)
+    lens = lens.astype(jnp.int32)
+    words = jnp.zeros((n_words,), jnp.uint32)
+    dump = jnp.int32(n_words)
+    for j in range(win.shape[1]):
+        # per column the target indices are unique per run, but DIFFERENT
+        # columns can hit the same word — scatter each column into its own
+        # array and OR them elementwise afterwards
+        idx = w0 + j  # nondecreasing over symbols
+        vals = win[:, j]
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), idx[1:] != idx[:-1]])
+        seg = _segmented_or(starts, vals)
+        ends = jnp.concatenate([idx[1:] != idx[:-1], jnp.ones((1,), bool)])
+        tgt = jnp.where(ends & (seg != 0), idx, dump)
+        col = jnp.zeros((n_words,), jnp.uint32).at[tgt].set(seg, mode="drop")
+        words = words | col
     return words, total
 
 
