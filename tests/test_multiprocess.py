@@ -1,0 +1,80 @@
+"""True multi-process jax.distributed CI (SURVEY.md §4): two local
+processes, virtual CPU devices, one global mesh — the same
+distributed_encode_step that runs on a pod slice.
+
+Skipped gracefully when the jax build lacks multi-process CPU support.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="localhost:%(port)d",
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+import jax.numpy as jnp
+from huffman_codec_tpu.ops.fgk import max_code_bits
+from huffman_codec_tpu.parallel.mesh import (
+    default_mesh, distributed_encode_step)
+
+assert len(jax.devices()) == 4, jax.devices()
+mesh = default_mesh()
+chunk_size, n_chunks = 64, 4
+n = chunk_size * n_chunks
+rng = np.random.default_rng(7)
+raw = rng.integers(0, 8, n, dtype=np.uint8)
+data = jnp.asarray(raw)
+n_words = (chunk_size * max_code_bits(chunk_size) + 31) // 32 + 2
+words, bits, rle_lens = distributed_encode_step(
+    data, jnp.int32(n), mesh, chunk_size, n_words, use_diff=True)
+print("OK", int(jnp.sum(bits)), flush=True)
+"""
+
+
+def test_two_process_mesh(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER % {"repo": REPO, "port": port})
+    env = dict(os.environ)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=150) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-process CPU collectives timed out on this build")
+    for (out, err), p in zip(outs, procs):
+        if p.returncode != 0:
+            if "distributed" in err or "initialize" in err or "Unimplemented" in err:
+                pytest.skip(f"jax.distributed unsupported here: {err[-200:]}")
+            raise AssertionError(err[-2000:])
+        assert "OK" in out
+    # both processes must agree on the gathered manifest checksum
+    sums = [o.split("OK ")[1].strip() for o, _ in outs]
+    assert sums[0] == sums[1]
