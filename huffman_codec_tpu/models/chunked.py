@@ -105,6 +105,18 @@ def _np_bytes_to_words(data: np.ndarray, n_words: int) -> np.ndarray:
     return buf.view(">u4").astype(np.uint32)
 
 
+def _pack5(vals: np.ndarray) -> bytes:
+    """(C, 256) code lengths (<32) -> 5-bit packed, 160 bytes per chunk."""
+    bits = (vals[..., None] >> np.arange(4, -1, -1)) & 1
+    return np.packbits(bits.reshape(vals.shape[0], -1), axis=1).tobytes()
+
+
+def _unpack5(raw: bytes, C: int) -> np.ndarray:
+    b = np.frombuffer(raw, np.uint8).reshape(C, 160)
+    bits = np.unpackbits(b, axis=1).reshape(C, 256, 5)
+    return (bits << np.arange(4, -1, -1)).sum(axis=2).astype(np.uint8)
+
+
 def _n_words_for(chunk_size: int, entropy: str) -> int:
     bits = 32 if entropy == "canonical" else max_code_bits(chunk_size)
     return _cdiv(chunk_size * bits, 32) + 2
@@ -271,9 +283,12 @@ class TPUCodec:
         self.config = config or CodecConfig()
         if self.config.entropy not in _ENTROPY:
             raise ValueError(f"unknown entropy mode {self.config.entropy}")
-        if (self.config.entropy == "canonical"
-                and self.config.chunk_size % self.config.lane):
-            raise ValueError("chunk_size must divide by lane")
+        if self.config.entropy == "canonical":
+            if self.config.chunk_size % self.config.lane:
+                raise ValueError("chunk_size must divide by lane")
+            if self.config.lane > 2048:
+                raise ValueError("lane > 2048 overflows the u16 lane-bits "
+                                 "manifest")
         if self.config.layout not in ("global", "sharded"):
             raise ValueError(f"unknown layout {self.config.layout}")
         if self.config.layout == "sharded" and self.config.use_adapt:
@@ -355,15 +370,14 @@ class TPUCodec:
             out += struct.pack("<QQQI", w, h, bs, nt)
             out += np.packbits(np.asarray(dirs, np.uint8)).tobytes()
             out += np.asarray(tile_lens, "<u4").tobytes()
-        for b in chunk_bits:
-            out += struct.pack("<Q", int(b))
+        out += np.asarray(chunk_bits, "<u4").tobytes()
         if sharded_meta is not None:
             rle_lens, carries = sharded_meta
             out += np.asarray(rle_lens, "<u4").tobytes()
             out += np.asarray(carries, np.uint8).tobytes()
         if cfg.entropy == "canonical" and tables is not None:
-            out += np.asarray(tables, np.uint8).tobytes()
-            out += np.asarray(lane_bits, "<u4").tobytes()
+            out += _pack5(np.asarray(tables))
+            out += np.asarray(lane_bits, "<u2").tobytes()
         out += payload
         return bytes(out)
 
@@ -491,10 +505,8 @@ class TPUCodec:
             tile_lens = np.frombuffer(blob, "<u4", nt, pos).copy()
             pos += 4 * nt
             hdr.update(w=w, h=h, bs=bs, dirs=dirs, tile_lens=tile_lens)
-        chunk_bits = [
-            struct.unpack_from("<Q", blob, pos + 8 * c)[0] for c in range(n_chunks)
-        ]
-        pos += 8 * n_chunks
+        chunk_bits = np.frombuffer(blob, "<u4", n_chunks, pos).tolist()
+        pos += 4 * n_chunks
         if flags & FLAG_SHARDED and n_chunks:
             rle_lens = np.frombuffer(blob, "<u4", n_chunks, pos).copy()
             pos += 4 * n_chunks
@@ -505,13 +517,13 @@ class TPUCodec:
             ename = "canonical"
             L = (_sharded_cap(chunk_size, ename, lane)
                  if flags & FLAG_SHARDED else chunk_size)
-            tables = np.frombuffer(
-                blob, np.uint8, 256 * n_chunks, pos).reshape(n_chunks, 256)
-            pos += 256 * n_chunks
+            tables = _unpack5(blob[pos : pos + 160 * n_chunks], n_chunks)
+            pos += 160 * n_chunks
             lpc = L // lane
             lane_bits = np.frombuffer(
-                blob, "<u4", lpc * n_chunks, pos).reshape(n_chunks, lpc)
-            pos += 4 * lpc * n_chunks
-            hdr.update(tables=tables.copy(), lane_bits=lane_bits.copy())
+                blob, "<u2", lpc * n_chunks, pos).reshape(n_chunks, lpc)
+            pos += 2 * lpc * n_chunks
+            hdr.update(tables=tables,
+                       lane_bits=lane_bits.astype(np.uint32))
         hdr.update(chunk_bits=chunk_bits, payload_off=pos)
         return hdr
