@@ -43,10 +43,12 @@ FRAMEWORK OPTIONS:
   --threads N                    host threads for the native runtime
   --entropy {canonical,fgk}      v3 entropy mode (default: canonical)
   --lane N                       v3 canonical decode lane size (default: 512)
+  --layout {global,sharded}      v3 transform layout; sharded enables
+                                 random-access decode (default: global)
 """
 
 _LONG = ["backend=", "format=", "chunk-size=", "threads=",
-         "entropy=", "lane="]
+         "entropy=", "lane=", "layout="]
 
 
 def _cerrh(msg: str) -> None:
@@ -68,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     threads = 0
     entropy = "canonical"
     lane = 512
+    layout = "global"
 
     try:
         opts, _ = getopt.getopt(argv, ":cdmai:o:w:h", _LONG)
@@ -111,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
             entropy = val
         elif opt == "--lane":
             lane = int(val)
+        elif opt == "--layout":
+            layout = val
 
     if ifp is None:
         _cerrh("ERROR: no input file path provided\n")
@@ -127,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         out = _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
-                   chunk_size, threads, entropy, lane)
+                   chunk_size, threads, entropy, lane, layout)
     except _CodecFailure as e:
         sys.stderr.write(f"ERROR: {e.message}\n")
         return e.code
@@ -150,7 +155,8 @@ class _CodecFailure(Exception):
 
 
 def _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
-         chunk_size, threads, entropy="canonical", lane=512) -> bytes:
+         chunk_size, threads, entropy="canonical", lane=512,
+         layout="global") -> bytes:
     if fmt == "v1" and backend == "native":
         try:
             from huffman_codec_tpu.native import runtime
@@ -174,7 +180,8 @@ def _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
             codec = TPUCodec(CodecConfig(use_diff=use_diff,
                                          use_adapt=use_adapt, width=width,
                                          chunk_size=chunk_size,
-                                         entropy=entropy, lane=lane))
+                                         entropy=entropy, lane=lane,
+                                         layout=layout))
             return codec.encode(data) if use_compr else codec.decode(data)
         raise _CodecFailure(2, "unrecognized container format")
     except _CodecFailure:

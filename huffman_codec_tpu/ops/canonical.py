@@ -292,14 +292,23 @@ def canonical_decode_batch(
         lo = jnp.where(r == 0, jnp.uint32(0), w1 >> (32 - r))
         return jnp.where(r == 0, w0, (w0 << r) | lo)
 
+    # table rows broadcast once; per step the (C, n_lanes, 31) masks reduce
+    # them without gathers (TPU per-element gathers are the decode
+    # bottleneck — only the canon_syms lookup keeps one gather per symbol)
+    fc_b = first_code[:, None, 1 : MAX_LEN + 1]  # (C, 1, 31)
+    si_b = start_index[:, None, 1 : MAX_LEN + 1]
+
     def step(pos, k):
         w = read32(pos)  # (C, n_lanes)
-        v = (w[:, :, None] >> (32 - lvec)[None, :, :].astype(jnp.uint32))
-        sel = v.astype(jnp.int32) < bound[:, None, :]  # (C, n_lanes, 31)
-        l = 1 + jnp.argmax(sel, axis=2).astype(jnp.int32)  # first true
-        v = (w >> (32 - l).astype(jnp.uint32)).astype(jnp.int32)
-        idx = (jnp.take_along_axis(start_index, l, 1)
-               + v - jnp.take_along_axis(first_code, l, 1))
+        v31 = (w[:, :, None] >> (32 - lvec)[None, :, :].astype(jnp.uint32))
+        sel = v31.astype(jnp.int32) < bound[:, None, :]  # (C, n_lanes, 31)
+        # first-true mask: sel is monotone in l once true stays true
+        ft = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=2) == 1)
+        fti = ft.astype(jnp.int32)
+        l = jnp.sum(fti * lvec[None, :, :], axis=2)  # code length
+        base = jnp.sum(fti * (si_b - fc_b), axis=2)  # start - first_code
+        v = jnp.sum(fti * v31.astype(jnp.int32), axis=2)
+        idx = base + v
         sym = jnp.take_along_axis(
             canon_syms, jnp.clip(idx, 0, N_SYM - 1), 1)
         ok = k < lane_syms
