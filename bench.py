@@ -59,11 +59,20 @@ def main() -> int:
     from huffman_codec_tpu.models.chunked import _encode_stream_stage
     from huffman_codec_tpu.ops.rle import rle_max_encoded_len
 
+    t_start = time.perf_counter()
+
+    def note(msg: str) -> None:
+        print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     raw, name = _load_input(args.file)
     n = len(raw)
     cs = args.chunk_size
     max_chunks = -(-(rle_max_encoded_len(n) + 64) // cs)
+    note(f"loaded {name} ({n} bytes); devices={jax.devices()}")
     data = jnp.asarray(np.frombuffer(raw, np.uint8))
+    jax.block_until_ready(data)
+    note("input on device")
 
     def run():
         out = _encode_stream_stage(data, True, cs, max_chunks,
@@ -72,6 +81,7 @@ def main() -> int:
         return out
 
     run()  # compile
+    note("encode compiled + first run done")
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
@@ -79,6 +89,7 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     mbps = n / dt / 1e6
+    note(f"encode timed: median {dt:.4f}s = {mbps:.1f} MB/s")
 
     detail = {
         "file": name,
@@ -93,8 +104,11 @@ def main() -> int:
                                  entropy=args.entropy, lane=args.lane))
     blob = codec.encode(raw)
     detail["bpc"] = round(8 * len(blob) / n, 3)
+    note(f"container encode done: {len(blob)} bytes "
+         f"({detail['bpc']} bpc)")
     if not args.skip_decode:
         assert codec.decode(blob) == raw, "roundtrip failed"
+        note("decode compiled + roundtrip verified")
         dts = []
         for _ in range(max(1, args.runs - 2)):
             t0 = time.perf_counter()

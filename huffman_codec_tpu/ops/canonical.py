@@ -42,6 +42,14 @@ MAX_LEN = 31  # left-justified 32-bit window decode
 BIG = jnp.int32(0x3FFFFFFF)
 
 
+def _use_pallas() -> bool:
+    """Pallas kernels on accelerators unless HCTPU_PALLAS=0 (escape hatch
+    for platforms where Mosaic lowering is unavailable)."""
+    import os
+
+    return os.environ.get("HCTPU_PALLAS", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # code construction
 # ---------------------------------------------------------------------------
@@ -50,10 +58,19 @@ BIG = jnp.int32(0x3FFFFFFF)
 def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
     """counts (C, 256) of the valid prefix of each chunk row.
 
-    Broadcast-compare + reduce, NOT scatter-add: XLA lowers scatters with
-    colliding indices to a serial loop on TPU (measured ~300x slower), while
-    the (C, L, 256) compare fuses into a vectorized reduction loop."""
+    On TPU this dispatches to the Pallas kernel (ops/pallas_kernels.py):
+    explicit VMEM blocking keeps the one-hot compare in-core, so HBM
+    traffic is just the input bytes + 1 KB of counts per chunk. Fallback
+    (CPU tests / non-blockable lengths): broadcast-compare + reduce, NOT
+    scatter-add — XLA lowers scatters with colliding indices to a serial
+    loop on TPU (measured ~300x slower), while the (C, L, 256) compare
+    fuses into a vectorized reduction loop."""
     C, L = data.shape
+    if jax.default_backend() != "cpu" and _use_pallas():
+        from huffman_codec_tpu.ops.pallas_kernels import histogram256, pick_block
+
+        if pick_block(L):
+            return histogram256(data, lengths)
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = idx < lengths[:, None]
     sym = data.astype(jnp.int32)

@@ -23,32 +23,47 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 N_SYM = 256
-_BLOCK = 2048  # symbols per inner step
+_LANES = 128  # TPU minor (lane) dimension
+_SLAB_ROWS = 8  # sublane rows folded per inner step (8 x 128 = 1024 syms);
+# must be a multiple of the i32 sublane tile (8) so the dynamic row slice
+# inside the loop is provably aligned for Mosaic
 
 
-def _hist_kernel(sym_ref, len_ref, out_ref):
-    """One grid step = one chunk."""
-    L = sym_ref.shape[1]
-    n_blocks = L // _BLOCK
-    length = len_ref[0]
+def pick_block(L: int) -> int:
+    """Supported inner block size when the chunk length is Pallas-tileable
+    (0 otherwise — caller falls back to the XLA formulation). Chunk rows
+    are viewed as (L/128, 128) tiles; the inner step folds 4 rows."""
+    return _SLAB_ROWS * _LANES if L % (_SLAB_ROWS * _LANES) == 0 else 0
+
+
+def _hist_kernel(len_ref, sym_ref, out_ref):
+    """One grid step = one chunk, viewed as (R, 128) byte rows.
+
+    ``len_ref`` is the scalar-prefetch operand (SMEM) — dynamic scalar
+    indexing is only legal there, not on VMEM vectors."""
+    R = sym_ref.shape[1]
+    length = len_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES, 1), 0)
+    v = jax.lax.broadcasted_iota(
+        jnp.int32, (_SLAB_ROWS, _LANES, N_SYM), 2)
 
     def body(b, acc):
-        start = b * _BLOCK
-        blk = sym_ref[0, pl.ds(start, _BLOCK)].astype(jnp.int32)
-        pos = start + jax.lax.broadcasted_iota(
-            jnp.int32, (_BLOCK, 1), 0)[:, 0]
+        r0 = b * _SLAB_ROWS
+        blk = sym_ref[0, pl.ds(r0, _SLAB_ROWS), :]
+        pos = (r0 + row[..., 0]) * _LANES + col[..., 0]
         valid = pos < length
-        # (BLOCK, 256) one-hot compare folded into the accumulator —
-        # never leaves the core
-        v = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, N_SYM), 1)
-        eq = (blk[:, None] == v) & valid[:, None]
-        return acc + jnp.sum(eq.astype(jnp.int32), axis=0)
+        # (8, 128, 256) one-hot compare folded into the accumulator —
+        # ~1 MB of vregs, never leaves the core
+        eq = (blk[:, :, None] == v) & valid[:, :, None]
+        return acc + jnp.sum(eq.astype(jnp.int32), axis=(0, 1))
 
-    acc = jax.lax.fori_loop(0, n_blocks, body,
+    acc = jax.lax.fori_loop(0, R // _SLAB_ROWS, body,
                             jnp.zeros((N_SYM,), jnp.int32))
-    out_ref[0, :] = acc
+    out_ref[0, 0, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -56,19 +71,25 @@ def histogram256(data: jax.Array, lengths: jax.Array,
                  interpret: bool = False) -> jax.Array:
     """counts (C, 256) of the valid prefix of each (C, L) chunk row.
 
-    L must divide by the internal block (2048); the codec's chunk sizes do.
+    L must divide by 512 (the codec's lane-aligned chunk lengths do);
+    check with ``pick_block`` before calling.
     """
     C, L = data.shape
-    if L % _BLOCK:
-        raise ValueError(f"chunk length must divide by {_BLOCK}")
+    if not pick_block(L):
+        raise ValueError(f"chunk length must divide by {_SLAB_ROWS * _LANES}")
+    R = L // _LANES
+    # i32 tiles: the i8 sublane tile is 32, which would force 32-row slabs;
+    # widening outside the kernel keeps the slab at 8 rows (~1 MB compare)
+    tiles = data.reshape(C, R, _LANES).astype(jnp.int32)
     return pl.pallas_call(
         _hist_kernel,
-        grid=(C,),
-        in_specs=[
-            pl.BlockSpec((1, L), lambda c: (c, 0)),
-            pl.BlockSpec((1,), lambda c: (c,)),
-        ],
-        out_specs=pl.BlockSpec((1, N_SYM), lambda c: (c, 0)),
-        out_shape=jax.ShapeDtypeStruct((C, N_SYM), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # lengths ride in SMEM
+            grid=(C,),
+            in_specs=[pl.BlockSpec((1, R, _LANES), lambda c, lens: (c, 0, 0))],
+            # (C, 1, 256) so the block's last two dims match the array's
+            out_specs=pl.BlockSpec((1, 1, N_SYM), lambda c, lens: (c, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, 1, N_SYM), jnp.int32),
         interpret=interpret,
-    )(data, lengths)
+    )(lengths.astype(jnp.int32), tiles)[:, 0, :]
