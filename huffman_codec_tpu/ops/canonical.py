@@ -81,7 +81,14 @@ def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
 
 def build_lengths(counts: jax.Array) -> jax.Array:
     """Optimal prefix-code lengths per chunk (C, 256) via the two-queue
-    Huffman merge, vectorized over chunks; 255 scan steps total."""
+    Huffman merge, vectorized over chunks; 255 scan steps total.
+
+    TPU-shaped: the scan body contains NO per-row gathers or scatters —
+    batched 1-element gather/scatter ops get unrolled per batch row by the
+    TPU lowering, which made compile time scale with the chunk count C
+    (the round-1 bench hang). Every indexed access is expressed as a
+    one-hot select over the 256-wide state rows instead: dense (C, 256)
+    elementwise work the vector unit eats, constant compile time."""
     C = counts.shape[0]
     n_sym = jnp.sum(counts > 0, axis=1).astype(jnp.int32)  # (C,)
 
@@ -90,74 +97,81 @@ def build_lengths(counts: jax.Array) -> jax.Array:
     key = jnp.where(counts > 0, counts, BIG)
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     leaf_w = jnp.take_along_axis(jnp.where(counts > 0, counts, BIG), order, 1)
-    # sentinel column: an exhausted queue pointer must read BIG, not clamp
-    # back onto the last real entry (a ghost re-pick corrupts the tree)
-    leaf_w = jnp.concatenate(
-        [leaf_w, jnp.full((C, 1), BIG, jnp.int32)], axis=1)
 
-    cvec = jnp.arange(C, dtype=jnp.int32)
-    # parents: ids 0..255 = leaves (sorted order), 256..510 = internals
-    parents0 = jnp.zeros((C, 2 * N_SYM - 1), jnp.int32)
-    iw0 = jnp.full((C, N_SYM), BIG, jnp.int32)  # internal weights + sentinel
+    iota = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]  # (1, 256)
+    iw0 = jnp.full((C, N_SYM), BIG, jnp.int32)  # internal weights
+    # parent[i] (merge-step index of the parent) per node, one row of 256
+    # for leaves (sorted order) and one for internals (creation order)
+    lp0 = jnp.zeros((C, N_SYM), jnp.int32)
+    ip0 = jnp.zeros((C, N_SYM), jnp.int32)
 
-    def pick(state):
-        li, ri, iw = state
-        lw = jnp.take_along_axis(leaf_w, li[:, None], 1)[:, 0]
-        rw = jnp.take_along_axis(iw, ri[:, None], 1)[:, 0]
+    def pick(li, ri, iw):
+        # queue-front reads as one-hot reductions (no gather): exhausted
+        # leaf queue (li == 256) naturally selects nothing -> BIG
+        lw = jnp.sum(jnp.where(iota == li[:, None], leaf_w, 0), axis=1)
+        lw = jnp.where(li >= n_sym, BIG, lw)
+        rw = jnp.sum(jnp.where(iota == ri[:, None], iw, 0), axis=1)
+        rw = jnp.where(ri >= N_SYM, BIG, rw)
         take_leaf = lw <= rw  # leaf wins ties -> lower depth variance
         val = jnp.where(take_leaf, lw, rw)
-        nid = jnp.where(take_leaf, li, N_SYM + ri)
         return (jnp.where(take_leaf, li + 1, li),
-                jnp.where(take_leaf, ri, ri + 1), iw), val, nid
+                jnp.where(take_leaf, ri, ri + 1)), val, take_leaf
 
     def merge(carry, t):
-        li, ri, iw, parents = carry
+        li, ri, iw, lpar, ipar = carry
         active = t < n_sym - 1
-        (li2, ri2, iw), aval, aid = pick((li, ri, iw))
-        (li3, ri3, iw), bval, bid = pick((li2, ri2, iw))
+        (li2, ri2), aval, aleaf = pick(li, ri, iw)
+        (li3, ri3), bval, bleaf = pick(li2, ri2, iw)
         new_w = jnp.where(active, aval + bval, BIG)
-        iw = iw.at[cvec, t].set(new_w)
-        dump = jnp.int32(2 * N_SYM - 2)  # root slot doubles as dump: its
-        # parent is never read (depth of the root is pinned to 0 below)
-        parents = parents.at[cvec, jnp.where(active, aid, dump)].set(
-            jnp.where(active, N_SYM + t, parents[cvec, dump]))
-        parents = parents.at[cvec, jnp.where(active, bid, dump)].set(
-            jnp.where(active, N_SYM + t, parents[cvec, dump]))
-        li = jnp.where(active, li3, li)
-        ri = jnp.where(active, ri3, ri)
-        return (li, ri, iw, parents), None
+        # iw[:, t] = new_w — as a one-hot select, NOT dynamic_update_slice:
+        # mixing a dynamic-indexed read of a scan carry with a DUS write of
+        # the same carry sends XLA:TPU copy analysis pathological (measured
+        # 228 s vs 0.5 s compile for the same loop on v5e)
+        iw = jnp.where(iota == t, new_w[:, None], iw)
+        # parent assignment via one-hot masked select: node a is leaf li
+        # (if aleaf) else internal ri; each node gets a parent exactly once
+        amask_l = active & aleaf
+        bmask_l = active & bleaf
+        lhit = ((iota == jnp.where(amask_l, li, -1)[:, None])
+                | (iota == jnp.where(bmask_l, li2, -1)[:, None]))
+        ihit = ((iota == jnp.where(active & ~aleaf, ri, -1)[:, None])
+                | (iota == jnp.where(active & ~bleaf, ri2, -1)[:, None]))
+        lpar = jnp.where(lhit, t, lpar)
+        ipar = jnp.where(ihit, t, ipar)
+        return (li3, ri3, iw, lpar, ipar), None
 
-    (li, ri, iw, parents), _ = jax.lax.scan(
-        merge,
-        (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32), iw0, parents0),
+    zero = jnp.zeros((C,), jnp.int32)
+    (li, ri, iw, lpar, ipar), _ = jax.lax.scan(
+        merge, (zero, zero, iw0, lp0, ip0),
         jnp.arange(N_SYM - 1, dtype=jnp.int32),
     )
 
-    # depth propagation: internals in reverse creation order
-    depth0 = jnp.zeros((C, 2 * N_SYM - 1), jnp.int32)
-
+    # depth propagation: internal t's depth = depth of its parent merge + 1;
+    # the root (t == n_sym-2) stays 0. Reverse creation order; one-hot
+    # reads AND writes (same carry-aliasing rule as the merge above).
     def dprop(depth, t):
-        # node id 256+t; the root (t == n_sym-2) stays 0
-        nid = N_SYM + t
-        p = parents[cvec, nid]
-        d = jnp.where(t == n_sym - 2, 0, depth[cvec, p] + 1)
+        p = jnp.sum(jnp.where(iota == t, ipar, 0), axis=1)
+        dp = jnp.sum(jnp.where(iota == p[:, None], depth, 0), axis=1)
+        d = jnp.where(t == n_sym - 2, 0, dp + 1)
         d = jnp.where(t < n_sym - 1, d, 0)
-        return depth.at[cvec, nid].set(d), None
+        return jnp.where(iota == t, d[:, None], depth), None
 
     depth, _ = jax.lax.scan(
-        dprop, depth0, jnp.arange(N_SYM - 2, -1, -1, dtype=jnp.int32)
+        dprop, jnp.zeros((C, N_SYM), jnp.int32),
+        jnp.arange(N_SYM - 2, -1, -1, dtype=jnp.int32),
     )
 
-    leaf_ids = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
-    pl = parents[:, :N_SYM]
-    leaf_depth = depth[cvec[:, None], pl] + 1  # (C, 256) in sorted order
-    rank = jnp.broadcast_to(leaf_ids, (C, N_SYM))
+    # leaf_depth[rank] = depth[lpar[rank]] + 1 — a batched 256-from-256
+    # gather OUTSIDE any scan (single op, compiles fine)
+    leaf_depth = jnp.take_along_axis(depth, lpar, axis=1) + 1
+    rank = jnp.broadcast_to(iota, (C, N_SYM))
     present = rank < n_sym[:, None]
     leaf_depth = jnp.where(present, leaf_depth, 0)
     # single-symbol chunk: give it a 1-bit code (decoder needs a length)
     leaf_depth = jnp.where((n_sym[:, None] == 1) & (rank == 0), 1, leaf_depth)
 
     lens = jnp.zeros((C, N_SYM), jnp.int32)
+    cvec = jnp.arange(C, dtype=jnp.int32)
     lens = lens.at[cvec[:, None], order].set(leaf_depth)
     return lens
 
