@@ -84,6 +84,12 @@ class CodecConfig:
     entropy: str = "canonical"  # "canonical" | "fgk"
     lane: int = 512  # canonical decode parallel granularity
     layout: str = "global"  # "global" | "sharded" (per-chunk transforms)
+    # streaming grid: process the input step_chunks chunks at a time through
+    # ONE fixed-shape compilation (sharded layout only). Compile cost becomes
+    # input-size-independent — the TPU serving pattern — and the host loop
+    # double-buffers: step k+1's device_put overlaps step k's compute via
+    # JAX async dispatch. None = whole input in one step (compile per size).
+    step_chunks: int | None = None
 
     def flags(self) -> int:
         return ((FLAG_DIFF if self.use_diff else 0)
@@ -194,16 +200,20 @@ def _sharded_cap(chunk_size: int, entropy: str, lane: int) -> int:
     jax.jit,
     static_argnames=("use_diff", "chunk_size", "n_chunks", "entropy", "lane"),
 )
-def _encode_sharded_stage(data, length, use_diff: bool, chunk_size: int,
-                          n_chunks: int, entropy: str, lane: int):
+def _encode_sharded_stage(data, length, carry0, use_diff: bool,
+                          chunk_size: int, n_chunks: int, entropy: str,
+                          lane: int):
     """Per-chunk diff (with carry) -> per-chunk RLE -> chunked entropy.
 
     The sharded layout of parallel/mesh.py as a serializable container:
     every chunk is decodable alone given its manifest row, so decode (and
     random access) parallelize exactly like encode. RLE streams restart at
     chunk boundaries; the diff model carries one byte per chunk (stored in
-    the manifest for random access). Returns (words, bits, tables,
-    lane_bits, rle_lens, carries)."""
+    the manifest for random access). ``carry0`` is the input byte preceding
+    ``data`` (0 at stream start) — it makes this stage restartable, which is
+    what lets the streaming codec push arbitrary-size inputs through one
+    fixed-shape compilation. Returns (words, bits, tables, lane_bits,
+    rle_lens, carries)."""
     chunks = data.reshape(n_chunks, chunk_size)
     in_lens = jnp.clip(
         length - jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size,
@@ -213,7 +223,8 @@ def _encode_sharded_stage(data, length, use_diff: bool, chunk_size: int,
     # interior chunks are always full, so [:, -1] is the carry byte; only
     # the (zero-length) chunks after a partial tail see garbage, and their
     # output is masked by in_lens == 0
-    carries = jnp.concatenate([jnp.zeros((1,), jnp.uint8), chunks[:-1, -1]])
+    carries = jnp.concatenate(
+        [jnp.asarray(carry0, jnp.uint8).reshape(1), chunks[:-1, -1]])
     if use_diff:
         prev = jnp.concatenate([carries[:, None], chunks[:, :-1]], axis=1)
         work = (chunks - prev).astype(jnp.uint8)
@@ -229,17 +240,16 @@ def _encode_sharded_stage(data, length, use_diff: bool, chunk_size: int,
 @functools.partial(
     jax.jit, static_argnames=("chunk_size", "cap", "use_diff")
 )
-def _decode_sharded_tail(chunks_rle, rle_lens, in_lens, chunk_size: int,
+def _decode_sharded_tail(chunks_rle, rle_lens, carries, chunk_size: int,
                          cap: int, use_diff: bool):
-    """Per-chunk RLE decode + one global diff revert (cumsum)."""
+    """Per-chunk RLE decode + per-chunk diff revert seeded by the stored
+    carry bytes — no global pass, so decode streams through the same
+    fixed-shape compilation as encode."""
     dec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=chunk_size)[0])
     out = dec(chunks_rle, rle_lens)
-    flat = out.reshape(-1)
     if use_diff:
-        idx = jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
-        mask = (idx < in_lens[:, None]).reshape(-1)
-        flat = diff_revert(jnp.where(mask, flat, 0))
-    return flat
+        out = jax.vmap(lambda y, cin: diff_revert(y, cin))(out, carries)
+    return out.reshape(-1)
 
 
 def _entropy_decode(words, counts, hdr, chunk_size):
@@ -312,14 +322,38 @@ class TPUCodec:
         sharded_meta = None
         if cfg.layout == "sharded":
             n_chunks = _cdiv(n, cs)
-            padded = np.zeros(n_chunks * cs, np.uint8)
-            padded[:n] = np.frombuffer(data, np.uint8)
-            words, bits, tables, lane_bits, rle_lens, carries = (
-                _encode_sharded_stage(jnp.asarray(padded), jnp.int32(n),
-                                      cfg.use_diff, cs, n_chunks,
-                                      cfg.entropy, cfg.lane))
-            total = int(np.asarray(rle_lens).sum())
-            sharded_meta = (np.asarray(rle_lens), np.asarray(carries))
+            arr = np.frombuffer(data, np.uint8)
+            S = min(cfg.step_chunks or n_chunks, n_chunks)
+            n_steps = _cdiv(n_chunks, S)
+            outs = []  # per-step device results, collected WITHOUT blocking
+            for k in range(n_steps):
+                lo = k * S * cs
+                hi = min(n, lo + S * cs)
+                if hi - lo == S * cs:
+                    step_np = arr[lo:hi]
+                else:
+                    step_np = np.zeros(S * cs, np.uint8)
+                    step_np[: hi - lo] = arr[lo:hi]
+                carry0 = np.uint8(arr[lo - 1] if lo else 0)
+                # async dispatch: the device_put + stage for step k+1 queue
+                # behind step k's compute -> host I/O overlaps device work
+                dev = jax.device_put(step_np)
+                outs.append(_encode_sharded_stage(
+                    dev, jnp.int32(hi - lo), carry0, cfg.use_diff, cs, S,
+                    cfg.entropy, cfg.lane))
+            if n_steps == 1:
+                words, bits, tables, lane_bits, rle_lens, carries = outs[0]
+            else:
+                cols = []
+                for i in range(6):
+                    vals = [o[i] for o in outs]
+                    cols.append(None if vals[0] is None else np.concatenate(
+                        [np.asarray(v) for v in vals]))
+                words, bits, tables, lane_bits, rle_lens, carries = cols
+            rle_lens = np.asarray(rle_lens)[:n_chunks]
+            carries = np.asarray(carries)[:n_chunks]
+            total = int(rle_lens.sum())
+            sharded_meta = (rle_lens, carries)
             adapt_meta = None
         else:
             x = jnp.asarray(np.frombuffer(data, np.uint8))
@@ -409,21 +443,42 @@ class TPUCodec:
             return b""
         cs = hdr["chunk_size"]
         n_chunks = hdr["n_chunks"]
-        words = self._load_words(blob, hdr)
         use_diff = bool(hdr["flags"] & FLAG_DIFF)
         if hdr["flags"] & FLAG_SHARDED:
             entropy = ("canonical" if hdr["entropy"] == ENTROPY_CANONICAL
                        else "fgk")
             cap = _sharded_cap(cs, entropy, hdr["lane"])
-            rle_lens = jnp.asarray(hdr["rle_lens"].astype(np.int32))
-            chunks_rle = _entropy_decode(words, rle_lens, hdr, cap)
-            in_lens = jnp.asarray(np.clip(
-                hdr["orig"] - np.arange(n_chunks, dtype=np.int64) * cs,
-                0, cs).astype(np.int32))
-            flat = _decode_sharded_tail(chunks_rle, rle_lens, in_lens,
-                                        cs, cap, use_diff)
-            out = np.asarray(flat)[: hdr["orig"]]
+            S = min(self.config.step_chunks or n_chunks, n_chunks)
+            n_steps = _cdiv(n_chunks, S)
+            parts = []  # collected without blocking (async dispatch)
+            for k in range(n_steps):
+                c0, c1 = k * S, min(n_chunks, (k + 1) * S)
+                w = self._load_words(blob, hdr, c0, c1)
+                rl = hdr["rle_lens"][c0:c1].astype(np.int32)
+                car = hdr["carries"][c0:c1]
+                sub = dict(hdr)
+                if hdr["entropy"] == ENTROPY_CANONICAL:
+                    sub["tables"] = hdr["tables"][c0:c1]
+                    sub["lane_bits"] = hdr["lane_bits"][c0:c1]
+                if c1 - c0 < S:  # zero-pad the tail step to the fixed grid
+                    pad = S - (c1 - c0)
+                    w = np.pad(w, ((0, pad), (0, 0)))
+                    rl = np.pad(rl, (0, pad))
+                    car = np.pad(car, (0, pad))
+                    if hdr["entropy"] == ENTROPY_CANONICAL:
+                        sub["tables"] = np.pad(sub["tables"],
+                                               ((0, pad), (0, 0)))
+                        sub["lane_bits"] = np.pad(sub["lane_bits"],
+                                                  ((0, pad), (0, 0)))
+                rl = jnp.asarray(rl)
+                chunks_rle = _entropy_decode(jnp.asarray(w), rl, sub, cap)
+                parts.append(_decode_sharded_tail(
+                    chunks_rle, rl, jnp.asarray(car), cs, cap, use_diff))
+            flat = (np.asarray(parts[0]) if n_steps == 1 else
+                    np.concatenate([np.asarray(p) for p in parts]))
+            out = flat[: hdr["orig"]]
         else:
+            words = self._load_words(blob, hdr)
             counts = jnp.asarray(np.clip(
                 hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
             ).astype(np.int32))

@@ -132,18 +132,6 @@ def pack_codes_scatter_add(
     return words, total
 
 
-def _segmented_or(flags: jax.Array, vals: jax.Array) -> jax.Array:
-    """Inclusive segmented OR scan; ``flags[i]`` marks a segment start."""
-
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va | vb)
-
-    _, out = jax.lax.associative_scan(comb, (flags, vals))
-    return out
-
-
 def pack_codes(
     lo: jax.Array, hi: jax.Array, lens: jax.Array, n_words: int,
     max_len: int = 64,
@@ -152,31 +140,41 @@ def pack_codes(
 
     Each code is a right-aligned value ``(hi << 32) | lo`` of ``lens[i]``
     bits (MSB of the code = bit lens[i]-1); zero-length codes must come
-    with zero value words. Pass ``max_len=32`` for <=32-bit codes (2-word
-    windows instead of 3).
+    with zero value words AND form a contiguous tail (true for every
+    caller: padding past the valid symbol count). Pass ``max_len=32`` for
+    <=32-bit codes (2-word windows instead of 3).
 
-    TPU-shaped design: colliding scatters serialize on TPU, so per window
-    column the contributions (whose target words are NONdecreasing in
-    symbol order) are pre-combined with a log-depth segmented-OR
-    ``associative_scan`` over runs of equal target words; each run's last
-    element then lands with a UNIQUE-index scatter-set, which the TPU
-    executes vectorized."""
+    TPU-shaped design: colliding scatters serialize on TPU, and a generic
+    ``associative_scan`` segmented-OR compiles pathologically at odd
+    lengths under vmap (minutes at C=256 — measured). Neither is needed:
+    per window column the target words are NONdecreasing in symbol order
+    and a u32 word can hold at most 33 codes (codes are >= 1 bit), so runs
+    of equal targets are <= 33 long. A fixed 7-round shifted OR (distances
+    1..64) with endpoint key-equality — exact for monotone keys — combines
+    each run into its last element, which then lands with a UNIQUE-index
+    scatter the TPU executes vectorized. Zero-length tail symbols get
+    ascending out-of-range targets, keeping the key sequence monotone and
+    the real runs short."""
     win, w0, total = _code_windows(lo, hi, lens, max_len)
     lens = lens.astype(jnp.int32)
+    n = lens.shape[0]
+    i32 = jnp.arange(n, dtype=jnp.int32)
     words = jnp.zeros((n_words,), jnp.uint32)
-    dump = jnp.int32(n_words)
     for j in range(win.shape[1]):
-        # per column the target indices are unique per run, but DIFFERENT
-        # columns can hit the same word — scatter each column into its own
-        # array and OR them elementwise afterwards
-        idx = w0 + j  # nondecreasing over symbols
-        vals = win[:, j]
-        starts = jnp.concatenate(
-            [jnp.ones((1,), bool), idx[1:] != idx[:-1]])
-        seg = _segmented_or(starts, vals)
+        # zero-length (tail) symbols -> ascending OOB keys > any valid word
+        idx = jnp.where(lens > 0, w0 + j, n_words + i32)
+        acc = win[:, j]
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            if d >= n:
+                break  # a run cannot be longer than the array
+            prev = jnp.concatenate([jnp.zeros((d,), acc.dtype), acc[:-d]])
+            pidx = jnp.concatenate(
+                [jnp.full((d,), -1, idx.dtype), idx[:-d]])
+            acc = jnp.where(pidx == idx, acc | prev, acc)
         ends = jnp.concatenate([idx[1:] != idx[:-1], jnp.ones((1,), bool)])
-        tgt = jnp.where(ends & (seg != 0), idx, dump)
-        col = jnp.zeros((n_words,), jnp.uint32).at[tgt].set(seg, mode="drop")
+        tgt = jnp.where(ends, idx, n_words + i32)
+        col = jnp.zeros((n_words,), jnp.uint32).at[tgt].set(
+            acc, mode="drop", unique_indices=True)
         words = words | col
     return words, total
 

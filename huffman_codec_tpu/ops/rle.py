@@ -102,11 +102,15 @@ def rle_encode(
     off = jnp.cumsum(per_pos) - per_pos  # exclusive prefix sum
     total = off[-1] + per_pos[-1]
     out = jnp.zeros((out_len,), jnp.uint8)
-    dump = jnp.int32(out_len)  # out-of-range scatter index -> dropped
-    lit_idx = jnp.where(emit_lit, off, dump)
-    cnt_idx = jnp.where(emit_cnt, off + emit_lit.astype(jnp.int32), dump)
-    out = out.at[lit_idx].set(x, mode="drop")
-    out = out.at[cnt_idx].set(cnt_val, mode="drop")
+    # out-of-range indices are dropped; keeping them DISTINCT per position
+    # lets XLA see the scatter as collision-free (unique_indices) — the
+    # colliding-scatter lowering serializes on TPU
+    idx32 = jnp.arange(n, dtype=jnp.int32)
+    lit_idx = jnp.where(emit_lit, off, out_len + idx32)
+    cnt_idx = jnp.where(emit_cnt, off + emit_lit.astype(jnp.int32),
+                        out_len + n + idx32)
+    out = out.at[lit_idx].set(x, mode="drop", unique_indices=True)
+    out = out.at[cnt_idx].set(cnt_val, mode="drop", unique_indices=True)
     return out, total
 
 

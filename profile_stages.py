@@ -149,14 +149,16 @@ def main():
 
     if on("enc"):
         def full(d, l):
-            return _encode_sharded_stage(d, l, True, cs, C, "canonical", lane)
+            return _encode_sharded_stage(d, l, jnp.uint8(0), True, cs, C,
+                                         "canonical", lane)
         report["enc"] = device_time(full, (flat, jnp.int32(n)),
                                     label="FULL sharded encode")
         print(f"  -> encode {mb / report['enc']:8.1f} MB/s",
               file=sys.stderr, flush=True)
 
     enc_out = jax.jit(lambda d, l: _encode_sharded_stage(
-        d, l, True, cs, C, "canonical", lane))(flat, jnp.int32(n))
+        d, l, jnp.uint8(0), True, cs, C, "canonical", lane))(
+            flat, jnp.int32(n))
     words_e, bits_e, tables_e, lane_bits_e, rl = (
         enc_out[0], enc_out[1], enc_out[2], enc_out[3], enc_out[4])
 

@@ -32,9 +32,29 @@ def scalar_pack(codes, lens):
 @pytest.mark.parametrize("n", [1, 2, 7, 100, 1000])
 @pytest.mark.parametrize("maxlen", [4, 24, 31])
 def test_pack_matches_scalar(n, maxlen):
-    lens = RNG.integers(0, maxlen + 1, n).astype(np.int32)
+    # pack_codes' contract: codes are >= 1 bit except a zero-length padding
+    # TAIL (what both entropy coders feed it); interior zeros are only
+    # supported by the general formulations (segsum test below).
+    lens = RNG.integers(1, maxlen + 1, n).astype(np.int32)
+    tail = RNG.integers(0, max(1, n // 3))
+    if tail:
+        lens[n - tail:] = 0
     codes = (RNG.integers(0, 1 << 31, n).astype(np.uint64)
              & ((1 << lens.astype(np.uint64)) - 1)).astype(np.uint32)
+    expect, nbits = scalar_pack(codes, lens)
+    nw = nbits // 32 + 2
+    w, total = pack_codes(jnp.asarray(codes), jnp.zeros(n, jnp.uint32),
+                          jnp.asarray(lens), nw)
+    assert int(total) == nbits
+    got = bytes(np.asarray(words_to_bytes(w, max(1, len(expect)))))
+    assert got == expect
+
+
+def test_pack_min_length_runs():
+    """Worst-case run: 33 one-bit codes share an output word."""
+    n = 200
+    lens = np.ones(n, np.int32)
+    codes = (np.arange(n) & 1).astype(np.uint32)
     expect, nbits = scalar_pack(codes, lens)
     nw = nbits // 32 + 2
     w, total = pack_codes(jnp.asarray(codes), jnp.zeros(n, jnp.uint32),
@@ -68,7 +88,8 @@ def test_pack_64bit_codes():
 
 def test_pack_vs_segsum_random():
     n = 5000
-    lens = RNG.integers(0, 32, n).astype(np.int32)
+    lens = RNG.integers(1, 32, n).astype(np.int32)
+    lens[n - 100:] = 0  # padding tail
     codes = (RNG.integers(0, 1 << 31, n).astype(np.uint64)
              & ((1 << lens.astype(np.uint64)) - 1)).astype(np.uint32)
     nw = int(lens.sum()) // 32 + 2
