@@ -76,6 +76,45 @@ def _pallas_smoke() -> str:
         return f"fallback ({type(e).__name__})"
 
 
+def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
+    """Per-stage device times (ms) on the bench grid, via the two-point
+    chained-fori method (utils/profiling.device_time) that cancels the
+    tunnel's dispatch+fetch latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.models.chunked import _n_words_for, _sharded_cap
+    from huffman_codec_tpu.ops.canonical import (
+        assign_codes, build_lengths, canonical_encode_batch, histogram)
+    from huffman_codec_tpu.ops.rle import rle_encode
+    from huffman_codec_tpu.utils.profiling import device_time
+
+    cap = _sharded_cap(cs, "canonical", lane)
+    n_words = _n_words_for(cap, "canonical")
+    chunks = step_dev.reshape(S, cs)
+    full = jnp.full((S,), cs, jnp.int32)
+    out = {}
+    renc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
+    out["rle_encode"] = device_time(renc, (chunks, full), reps_hi=5,
+                                    label="rle_encode", quiet=True)
+    streams, slens = jax.jit(renc)(chunks, full)
+    slens = slens.astype(jnp.int32)
+    out["histogram"] = device_time(histogram, (streams, slens), reps_hi=5,
+                                   label="histogram", quiet=True)
+    counts = jax.jit(histogram)(streams, slens)
+    out["build_lengths"] = device_time(build_lengths, (counts,), reps_hi=5,
+                                       label="build_lengths", quiet=True)
+    lens_t = jax.jit(build_lengths)(counts)
+    out["assign_codes"] = device_time(assign_codes, (lens_t,), reps_hi=5,
+                                      label="assign_codes", quiet=True)
+    out["entropy_total"] = device_time(
+        lambda s, l: canonical_encode_batch(s, l, n_words, lane=lane),
+        (streams, slens), reps_hi=5, label="entropy_total", quiet=True)
+    out["gather_pack"] = (out["entropy_total"] - out["histogram"]
+                          - out["build_lengths"] - out["assign_codes"])
+    return {k: round(v * 1e3, 3) for k, v in out.items()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", default="corpus",
@@ -90,6 +129,8 @@ def main() -> int:
     ap.add_argument("--lane", type=int, default=512)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--skip-decode", action="store_true")
+    ap.add_argument("--skip-stages", action="store_true",
+                    help="skip the per-stage device breakdown")
     args = ap.parse_args()
 
     import jax
@@ -151,6 +192,14 @@ def main() -> int:
         "vs_baseline": round(mbps / BASELINE_ENCODE_MBPS, 2),
         "detail": detail,
     }
+
+    if not args.skip_stages:
+        try:
+            detail["stage_ms"] = _stage_breakdown(steps[0], S, cs, args.lane)
+            note(f"stage breakdown: {detail['stage_ms']}")
+        except Exception as e:  # noqa: BLE001 — breakdown is best-effort
+            detail["stage_ms"] = f"failed: {type(e).__name__}"
+            note(f"stage breakdown failed: {e!r}")
 
     try:
         codec = TPUCodec(CodecConfig(

@@ -45,10 +45,12 @@ FRAMEWORK OPTIONS:
   --lane N                       v3 canonical decode lane size (default: 512)
   --layout {global,sharded}      v3 transform layout; sharded enables
                                  random-access decode (default: global)
+  --stats                        print a JSON metrics line (bpc, MB/s,
+                                 chunks) to stderr after the run
 """
 
 _LONG = ["backend=", "format=", "chunk-size=", "threads=",
-         "entropy=", "lane=", "layout="]
+         "entropy=", "lane=", "layout=", "stats"]
 
 
 def _cerrh(msg: str) -> None:
@@ -71,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     entropy = "canonical"
     lane = 512
     layout = "global"
+    stats = False
 
     try:
         opts, _ = getopt.getopt(argv, ":cdmai:o:w:h", _LONG)
@@ -116,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
             lane = int(val)
         elif opt == "--layout":
             layout = val
+        elif opt == "--stats":
+            stats = True
 
     if ifp is None:
         _cerrh("ERROR: no input file path provided\n")
@@ -130,20 +135,40 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write("ERROR: given input file does not exist\n")
         return 5  # main.cpp:203-207
 
+    import time
+
+    t0 = time.perf_counter()
     try:
         out = _run(data, use_compr, use_diff, use_adapt, width, backend, fmt,
                    chunk_size, threads, entropy, lane, layout)
     except _CodecFailure as e:
         sys.stderr.write(f"ERROR: {e.message}\n")
         return e.code
+    dt = time.perf_counter() - t0
 
+    if stats:
+        from huffman_codec_tpu.utils.metrics import CodecMetrics
+
+        raw_n, comp_n = (len(data), len(out)) if use_compr else (len(out),
+                                                                 len(data))
+        m = CodecMetrics(
+            input_bytes=raw_n, output_bytes=comp_n,
+            encode_s=dt if use_compr else 0.0,
+            decode_s=0.0 if use_compr else dt,
+            n_chunks=(-(-raw_n // chunk_size) if fmt in ("v2", "v3") else 0),
+            extra={"format": fmt, "backend": backend, "op": "compress"
+                   if use_compr else "decompress"})
+        sys.stderr.write(m.to_json() + "\n")
+
+    # the reference reports BEFORE attempting the write (main.cpp:218-220),
+    # so the exit-7 stderr contains both lines
+    sys.stderr.write(f"writing {len(out)} bytes to {ofp}\n")  # main.cpp:218
     try:
         with open(ofp, "wb") as f:
             f.write(out)
     except OSError:
         sys.stderr.write(f"ERROR: cannot write to {ofp} output file\n")
         return 7  # main.cpp:135-140
-    sys.stderr.write(f"writing {len(out)} bytes to {ofp}\n")  # main.cpp:218
     return 0
 
 

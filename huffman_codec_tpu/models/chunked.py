@@ -307,6 +307,34 @@ class TPUCodec:
 
     # -- encode -------------------------------------------------------------
 
+    def encode_chunk_range(self, data: np.ndarray | bytes, c0: int, c1: int):
+        """Encode chunks [c0, c1) of the input (sharded layout only) through
+        the fixed-grid device stage. This is both the streaming-encode step
+        and the elastic-recovery re-dispatch unit (SURVEY.md §5): a failed
+        host's chunk range can be re-encoded anywhere — the stage is
+        restartable via the carry byte — and its manifest columns spliced
+        in. Chunks past the input are zero-padded (their in_lens mask to 0).
+        Returns device arrays (words, bits, tables, lane_bits, rle_lens,
+        carries) for the range, without blocking."""
+        cfg = self.config
+        if cfg.layout != "sharded":
+            raise ValueError("encode_chunk_range requires the sharded layout")
+        cs = cfg.chunk_size
+        arr = (np.frombuffer(data, np.uint8)
+               if isinstance(data, (bytes, bytearray)) else data)
+        n = len(arr)
+        S = c1 - c0
+        lo, hi = c0 * cs, min(n, c1 * cs)
+        if hi - lo == S * cs:
+            step_np = arr[lo:hi]
+        else:
+            step_np = np.zeros(S * cs, np.uint8)
+            step_np[: max(0, hi - lo)] = arr[lo:hi]
+        carry0 = np.uint8(arr[lo - 1] if 0 < lo <= n else 0)
+        return _encode_sharded_stage(
+            jax.device_put(step_np), jnp.int32(max(0, hi - lo)), carry0,
+            cfg.use_diff, cs, S, cfg.entropy, cfg.lane)
+
     def encode(self, data: bytes) -> bytes:
         cfg = self.config
         n = len(data)
@@ -325,22 +353,10 @@ class TPUCodec:
             arr = np.frombuffer(data, np.uint8)
             S = min(cfg.step_chunks or n_chunks, n_chunks)
             n_steps = _cdiv(n_chunks, S)
-            outs = []  # per-step device results, collected WITHOUT blocking
-            for k in range(n_steps):
-                lo = k * S * cs
-                hi = min(n, lo + S * cs)
-                if hi - lo == S * cs:
-                    step_np = arr[lo:hi]
-                else:
-                    step_np = np.zeros(S * cs, np.uint8)
-                    step_np[: hi - lo] = arr[lo:hi]
-                carry0 = np.uint8(arr[lo - 1] if lo else 0)
-                # async dispatch: the device_put + stage for step k+1 queue
-                # behind step k's compute -> host I/O overlaps device work
-                dev = jax.device_put(step_np)
-                outs.append(_encode_sharded_stage(
-                    dev, jnp.int32(hi - lo), carry0, cfg.use_diff, cs, S,
-                    cfg.entropy, cfg.lane))
+            # async dispatch: the device_put + stage for step k+1 queue
+            # behind step k's compute -> host I/O overlaps device work
+            outs = [self.encode_chunk_range(arr, k * S, (k + 1) * S)
+                    for k in range(n_steps)]
             if n_steps == 1:
                 words, bits, tables, lane_bits, rle_lens, carries = outs[0]
             else:

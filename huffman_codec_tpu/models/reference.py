@@ -86,8 +86,11 @@ class V1Codec:
         if 8 * len(payload) < count:  # each symbol needs >= 1 bit (exit 9)
             raise ValueError("invalid Huffman coding file contents")
         stream = fgk_decode_chunk(words, jnp.int32(count), out_len=count)
-        # stream RLE expands at most 255x per count byte
-        bound = size_hint or min(count * 255, (1 << 31) - 1)
+        # tight RLE expansion bound: every count byte (<= 255 extra output
+        # bytes) is preceded by exactly 3 literals in the stream
+        # (transform.cpp:256-269), so a `count`-byte stream holds at most
+        # count // 4 count bytes -> decoded size <= count + 255*(count//4)
+        bound = size_hint or (count + 255 * (count // 4))
         out, n = rle_decode(stream, jnp.int32(count), out_len=int(bound))
         out = np.asarray(out)[: int(n)]
         if use_diff:

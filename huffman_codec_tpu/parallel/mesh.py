@@ -2,18 +2,21 @@
 
 Sharding design (SURVEY.md §2.8 / §5): the input byte stream is cut into
 fixed-size chunks; chunks are the unit of data parallelism. Per chunk the
-whole pipeline — diff model, MNP-5 RLE, FGK entropy coding, bit packing —
-is independent, EXCEPT the diff model's first byte, which needs the last
+whole pipeline — diff model, MNP-5 RLE, entropy coding, bit packing — is
+independent, EXCEPT the diff model's first byte, which needs the last
 input byte of the previous chunk. That single-byte carry is exchanged with
 one ``ppermute`` over the mesh axis; the per-chunk manifest (bit lengths,
-RLE lengths) is assembled with ``all_gather``. Everything else is local,
-so scaling is embarrassingly parallel and collective traffic is O(devices).
+RLE lengths, code tables) is assembled with ``all_gather``. Everything
+else is local, so scaling is embarrassingly parallel and collective
+traffic is O(devices + manifest).
 
-This realizes the v3 container's "sharded" layout: transforms applied per
-input chunk (RLE restarts at chunk boundaries) so decode is equally
-parallel; the diff revert happens once globally after reassembly (a global
-cumsum — also parallel). Interior chunks are always full, so output
-compaction is a single tail truncation.
+This realizes the v3 container's "sharded" layout exactly — the outputs of
+``distributed_encode_step`` are the same (words, bits, tables, lane_bits,
+rle_lens, carries) columns ``models/chunked.py:_encode_sharded_stage``
+produces, so a v3 sharded container assembled from a mesh encode is
+byte-identical to the single-chip one (pinned by ``__graft_entry__``'s
+dryrun and tests/test_distributed.py). Both entropy modes ride the mesh:
+``canonical`` (the flagship two-pass coder) and ``fgk`` (reference parity).
 """
 
 from __future__ import annotations
@@ -29,6 +32,10 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from huffman_codec_tpu.ops.canonical import (
+    canonical_decode_batch,
+    canonical_encode_batch,
+)
 from huffman_codec_tpu.ops.diff import diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch
 from huffman_codec_tpu.ops.rle import rle_decode, rle_encode, rle_max_encoded_len
@@ -41,9 +48,17 @@ def default_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def sharded_cap(chunk_size: int, entropy: str, lane: int) -> int:
+    """Padded per-chunk RLE buffer length (lane-aligned for canonical) —
+    must match models/chunked.py:_sharded_cap for container parity."""
+    cap = rle_max_encoded_len(chunk_size)
+    return -(-cap // lane) * lane if entropy == "canonical" else cap
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "chunk_size", "n_words", "use_diff", "axis"),
+    static_argnames=("mesh", "chunk_size", "n_words", "use_diff", "entropy",
+                     "lane", "axis"),
 )
 def distributed_encode_step(
     data: jax.Array,
@@ -52,29 +67,37 @@ def distributed_encode_step(
     chunk_size: int,
     n_words: int,
     use_diff: bool = True,
+    entropy: str = "fgk",
+    lane: int = 512,
     axis: str = "dp",
 ):
     """One sharded encode step over the mesh.
 
     ``data`` is uint8[n_chunks * chunk_size] (padded), ``length`` the true
     byte count; n_chunks must divide by the mesh size. Returns replicated
-    (words (C, n_words), bits (C,), rle_lens (C,)) — per-chunk packed
-    streams plus the manifest, gathered over ICI.
+    (words (C, n_words), bits (C,), tables, lane_bits, rle_lens (C,),
+    carries (C,)) — per-chunk packed streams plus the v3 sharded manifest,
+    gathered over ICI. ``tables``/``lane_bits`` are None in fgk mode.
     """
     n = data.shape[0]
     n_chunks = n // chunk_size
-    rle_cap = rle_max_encoded_len(chunk_size)
+    cap = sharded_cap(chunk_size, entropy, lane)
     chunks = data.reshape(n_chunks, chunk_size)
     lengths = jnp.clip(
         length - jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size,
         0, chunk_size,
     )
 
+    out_specs = ((P(None, None), P(None), P(None), P(None))
+                 if entropy == "fgk"
+                 else (P(None, None), P(None), P(None, None), P(None, None),
+                       P(None), P(None)))
+
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(None, None), P(None), P(None)),
+        out_specs=out_specs,
         check_vma=False,
     )
     def step(local_chunks, local_lengths):
@@ -96,56 +119,82 @@ def distributed_encode_step(
             )
             work = (local_chunks - prev).astype(jnp.uint8)
         else:
+            carries = jnp.zeros((local_chunks.shape[0],), jnp.uint8)
             work = local_chunks
-        enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=rle_cap))
+        enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
         rle_streams, rle_lens = enc(work, local_lengths)
+        if entropy == "canonical":
+            words, bits, tables, lane_bits = canonical_encode_batch(
+                rle_streams, rle_lens, n_words, lane=lane)
+            # ordered manifest + stream assembly over ICI
+            return tuple(
+                jax.lax.all_gather(x, axis, tiled=True)
+                for x in (words, bits, tables, lane_bits, rle_lens, carries))
         words, bits = fgk_encode_batch(rle_streams, rle_lens, n_words)
-        # ordered manifest + stream assembly over ICI
-        words = jax.lax.all_gather(words, axis, tiled=True)
-        bits = jax.lax.all_gather(bits, axis, tiled=True)
-        rle_lens = jax.lax.all_gather(rle_lens, axis, tiled=True)
-        return words, bits, rle_lens
+        return tuple(
+            jax.lax.all_gather(x, axis, tiled=True)
+            for x in (words, bits, rle_lens, carries))
 
-    return step(chunks, lengths)
+    out = step(chunks, lengths)
+    if entropy == "fgk":
+        words, bits, rle_lens, carries = out
+        return words, bits, None, None, rle_lens, carries
+    return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "chunk_size", "use_diff", "axis"),
+    static_argnames=("mesh", "chunk_size", "use_diff", "entropy", "lane",
+                     "axis"),
 )
 def distributed_decode_step(
     words: jax.Array,
     rle_lens: jax.Array,
-    chunk_lengths: jax.Array,
+    carries: jax.Array,
     mesh: Mesh,
     chunk_size: int,
+    tables: jax.Array | None = None,
+    lane_bits: jax.Array | None = None,
     use_diff: bool = True,
+    entropy: str = "fgk",
+    lane: int = 512,
     axis: str = "dp",
 ):
-    """Inverse of distributed_encode_step: per-chunk FGK + RLE decode shard
-    across the mesh; the diff revert is one global cumsum afterwards.
-    Returns the reconstructed uint8[n_chunks * chunk_size] (padded only at
-    the stream tail)."""
-    rle_cap = rle_max_encoded_len(chunk_size)
+    """Inverse of distributed_encode_step: per-chunk entropy + RLE decode
+    shard across the mesh; the diff revert is per-chunk too, seeded by the
+    manifest carries (so no global pass — same shape as the streaming
+    single-chip decode). Returns uint8[n_chunks * chunk_size] (padded only
+    inside the tail chunk)."""
+    cap = sharded_cap(chunk_size, entropy, lane)
+
+    if entropy == "canonical":
+        in_specs = (P(axis, None), P(axis), P(axis), P(axis, None),
+                    P(axis, None))
+        args = (words, rle_lens, carries, tables, lane_bits)
+    else:
+        in_specs = (P(axis, None), P(axis), P(axis))
+        args = (words, rle_lens, carries)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=P(None, None),
         check_vma=False,
     )
-    def step(local_words, local_rle_lens, local_counts):
-        streams = fgk_decode_batch(local_words, local_rle_lens, rle_cap)
+    def step(local_words, local_rle_lens, local_carries, *rest):
+        if entropy == "canonical":
+            local_tables, local_lane_bits = rest
+            streams = canonical_decode_batch(
+                local_words, local_tables, local_lane_bits, local_rle_lens,
+                lane=lane, out_len=cap)
+        else:
+            streams = fgk_decode_batch(local_words, local_rle_lens, cap)
         dec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=chunk_size)[0])
         chunks = dec(streams, local_rle_lens)
+        if use_diff:
+            chunks = jax.vmap(lambda y, cin: diff_revert(y, cin))(
+                chunks, local_carries)
         return jax.lax.all_gather(chunks, axis, tiled=True)
 
-    chunks = step(words, rle_lens, chunk_lengths)
-    flat = chunks.reshape(-1)
-    if use_diff:
-        # zero the tail padding so the global cumsum carries cleanly
-        idx = jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
-        mask = (idx < chunk_lengths[:, None]).reshape(-1)
-        flat = diff_revert(jnp.where(mask, flat, 0))
-    return flat
+    return step(*args).reshape(-1)

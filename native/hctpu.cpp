@@ -460,14 +460,18 @@ int adapt_decode(const Bytes& data, Bytes& out) {
     for (int i = 0; i < 8; i++) h = (h << 8) | data[pos++];
     for (int i = 0; i < 8; i++) bs = (bs << 8) | data[pos++];
     if (bs == 0) return HC_E_BAD_ADAPT_HEADER;
+    uint64_t nb = block_count(w, h, bs);
+    uint64_t dir_bytes = (nb + 7) / 8;
+    // scanDir availability is checked BEFORE any plausibility guard so the
+    // exit code matches the reference order (headers.cpp:94-98 -> 11)
+    if (data.size() < pos + dir_bytes) return HC_E_BAD_ADAPT_DIRS;
     // a corrupt header can claim any W/H; RLE expands at most 255x per input
-    // byte, so a matrix larger than that bound is guaranteed to underrun
+    // byte, so a matrix larger than that bound is guaranteed to underrun —
+    // fail with 14 (the code the reference would eventually hit) instead of
+    // attempting the giant allocation
     if (w != 0 && h != 0 &&
         (unsigned __int128)w * h > (unsigned __int128)data.size() * 255)
         return HC_E_BLOCK_UNDERRUN;
-    uint64_t nb = block_count(w, h, bs);
-    uint64_t dir_bytes = (nb + 7) / 8;
-    if (data.size() < pos + dir_bytes) return HC_E_BAD_ADAPT_DIRS;
     const uint8_t* dirs = data.data() + pos;
     pos += dir_bytes;
 

@@ -24,45 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def device_time(fn, args, reps_hi=9, reps_lo=1, label=""):
-    """Median-free two-point device timing: t = (T(hi) - T(lo)) / (hi-lo).
-
-    fn(*args) -> pytree; iterations are serialized by feeding a parity bit
-    of each output back into the first argument.
-    """
-
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(x0, rest, reps: int):
-        def body(i, x):
-            out = fn(x, *rest)
-            leaves = jax.tree_util.tree_leaves(out)
-            bit = jnp.uint8(0)
-            for lf in leaves:
-                bit = bit ^ (jnp.sum(lf.astype(jnp.int32) & 1)
-                             & 1).astype(jnp.uint8)
-            return x ^ bit  # serializing dependence, value-preserving ^0..1
-        return jax.lax.fori_loop(0, reps, body, x0)
-
-    x0, rest = args[0], tuple(args[1:])
-    t0 = time.perf_counter()
-    out = chained(x0, rest, reps_lo)
-    _ = np.asarray(out.reshape(-1)[:1])
-    compile_s = time.perf_counter() - t0
-
-    def run(reps):
-        t0 = time.perf_counter()
-        out = chained(x0, rest, reps)
-        _ = np.asarray(out.reshape(-1)[:1])
-        return time.perf_counter() - t0
-
-    run(reps_hi)  # compile hi variant
-    t_lo = min(run(reps_lo) for _ in range(3))
-    t_hi = min(run(reps_hi) for _ in range(3))
-    dt = (t_hi - t_lo) / (reps_hi - reps_lo)
-    print(f"{label:28s} compile {compile_s:7.2f}s   device {dt*1e3:9.3f} ms",
-          file=sys.stderr, flush=True)
-    return dt
+from huffman_codec_tpu.utils.profiling import device_time
 
 
 def main():

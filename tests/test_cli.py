@@ -120,3 +120,101 @@ def test_v2_v3_formats(tmp_path, sample):
                      "-i", str(c), "-o", str(d)], cwd=tmp_path)
         assert r.returncode == 0, (fmt, r.stderr)
         assert d.read_bytes() == sample.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# corrupted-payload exit codes (7, 10, 11, 13-15) — both the code AND the
+# stderr line must match the oracle's (SURVEY.md §2.7 table)
+# ---------------------------------------------------------------------------
+
+
+def _v1_adapt_blob(payload: bytes) -> bytes:
+    """Wrap raw payload bytes in a v1 adaptive container: FGK-encode them
+    and prepend the Huffman header (flags = adapt only). Lets the tests
+    craft adaptive payloads that are structurally broken INSIDE the
+    Huffman coding (headers.cpp:67-98, transform.cpp:170-184, 354-358)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.formats import make_huff_header
+    from huffman_codec_tpu.models.chunked import _cdiv
+    from huffman_codec_tpu.ops.fgk import fgk_encode_chunk, max_code_bits
+    from huffman_codec_tpu.ops.pack import words_to_bytes
+
+    n = len(payload)
+    n_words = _cdiv(n * max_code_bits(n), 32) + 2
+    words, bits = fgk_encode_chunk(
+        jnp.asarray(np.frombuffer(payload, np.uint8)), jnp.int32(n), n_words)
+    nb = (int(bits) + 7) // 8
+    body = bytes(np.asarray(words_to_bytes(words, max(1, nb)))[:nb])
+    return make_huff_header(n, False, True) + body
+
+
+def _check_vs_oracle(tmp_path, oracle, blob: bytes, expect_code: int):
+    bad = tmp_path / f"bad{expect_code}.bin"
+    bad.write_bytes(blob)
+    ours = run_cli(["-d", "-i", str(bad), "-o", str(tmp_path / "o.bin")],
+                   cwd=tmp_path)
+    ref = subprocess.run(
+        [str(oracle), "-d", "-i", str(bad), "-o", str(tmp_path / "r.bin")],
+        capture_output=True, cwd=tmp_path)
+    assert ours.returncode == ref.returncode == expect_code, (
+        expect_code, ours.returncode, ref.returncode, ours.stderr, ref.stderr)
+    assert ours.stderr == ref.stderr, (ours.stderr, ref.stderr)
+
+
+def test_exit_7_unwritable_output(tmp_path, sample, oracle):
+    dest = str(tmp_path / "no_such_dir" / "x.bin")
+    ours = run_cli(["-c", "-i", str(sample), "-o", dest], cwd=tmp_path)
+    ref = subprocess.run([str(oracle), "-c", "-i", str(sample), "-o", dest],
+                         capture_output=True, cwd=tmp_path)
+    assert ours.returncode == ref.returncode == 7, (ours.stderr, ref.stderr)
+    assert ours.stderr == ref.stderr
+
+
+def test_exit_10_truncated_adapt_u64s(tmp_path, oracle):
+    # Huffman payload shorter than the 24 header bytes (headers.cpp:67-71)
+    _check_vs_oracle(tmp_path, oracle, _v1_adapt_blob(b"\x01\x02\x03four"), 10)
+
+
+def test_exit_11_missing_scandirs(tmp_path, oracle):
+    # valid W/H/bs but zero of the required scanDir bytes (headers.cpp:94-98)
+    import struct as st
+    _check_vs_oracle(tmp_path, oracle,
+                     _v1_adapt_blob(st.pack(">QQQ", 512, 512, 8)), 11)
+
+
+def test_exit_13_block_overshoot(tmp_path, oracle):
+    # count byte expands past the 8x8 tile (transform.cpp:180-184)
+    import struct as st
+    payload = (st.pack(">QQQ", 8, 8, 8) + b"\x80"  # 1 tile, horizontal
+               + b"AAA" + bytes([200]))
+    _check_vs_oracle(tmp_path, oracle, _v1_adapt_blob(payload), 13)
+
+
+def test_exit_14_block_underrun(tmp_path, oracle):
+    # payload ends before the tile is complete (transform.cpp:170-174)
+    import struct as st
+    payload = st.pack(">QQQ", 8, 8, 8) + b"\x80" + b"AB"
+    _check_vs_oracle(tmp_path, oracle, _v1_adapt_blob(payload), 14)
+
+
+def test_exit_15_leftover_bytes(tmp_path, oracle):
+    # bytes remain after the last tile decoded (transform.cpp:354-358)
+    import struct as st
+    payload = (st.pack(">QQQ", 8, 8, 8) + b"\x80"
+               + bytes(range(64)) + b"ZZ")
+    _check_vs_oracle(tmp_path, oracle, _v1_adapt_blob(payload), 15)
+
+
+def test_stats_flag(tmp_path, sample):
+    r = run_cli(["-c", "-m", "--stats", "--format=v3", "--chunk-size=1024",
+                 "-i", str(sample), "-o", str(tmp_path / "s.bin")],
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    import json as _json
+    line = [l for l in r.stderr.decode().splitlines()
+            if l.startswith("{")][-1]
+    m = _json.loads(line)
+    assert m["input_bytes"] == 2048 and m["n_chunks"] == 2
+    assert 0 < m["bpc"] < 16 and m["encode_mbps"] > 0

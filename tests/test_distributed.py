@@ -30,3 +30,48 @@ def test_init_distributed_single_process_noop(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
     assert init_distributed() is False
+
+
+def test_elastic_redispatch_roundtrip():
+    """End-to-end recovery drill (SURVEY.md §5 failure detection): host 1 of
+    2 'fails' mid-encode; missing_chunks names its range, which is
+    re-encoded via TPUCodec.encode_chunk_range (the restartable fixed-grid
+    stage) and spliced into the manifest; the assembled v3 container must
+    equal the healthy single-pass one and round-trip."""
+    import zlib
+
+    import numpy as np
+
+    from huffman_codec_tpu.models import CodecConfig, TPUCodec
+
+    cs, n_chunks = 1024, 8
+    rng = np.random.default_rng(11)
+    raw = bytes(rng.integers(0, 12, cs * n_chunks - 301, dtype=np.uint8))
+    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=cs, lane=128,
+                                 entropy="canonical", layout="sharded"))
+
+    plan = plan_chunk_ranges(n_chunks, 2)
+    done: set[int] = set()
+    parts: dict[int, tuple] = {}
+    for r in plan:
+        if r.host == 1:
+            continue  # host 1 dies before reporting
+        parts[r.start] = codec.encode_chunk_range(raw, r.start, r.stop)
+        done.update(range(r.start, r.stop))
+
+    todo = missing_chunks(n_chunks, done)
+    assert todo == list(range(plan[1].start, plan[1].stop))
+    # coordinator re-dispatches the missing contiguous range on host 0
+    parts[todo[0]] = codec.encode_chunk_range(raw, todo[0], todo[-1] + 1)
+
+    cols = [np.concatenate([np.asarray(parts[k][i])
+                            for k in sorted(parts)]) for i in range(6)]
+    words, bits, tables, lane_bits, rle_lens, carries = cols
+    payload = b"".join(
+        words[c].astype(">u4").tobytes()[: (int(bits[c]) + 7) // 8]
+        for c in range(n_chunks))
+    blob = codec._container(payload, len(raw), int(rle_lens.sum()),
+                            bits[:n_chunks].tolist(), None, tables, lane_bits,
+                            (rle_lens, carries), zlib.crc32(raw))
+    assert blob == codec.encode(raw), "recovered container != healthy one"
+    assert codec.decode(blob) == raw

@@ -106,4 +106,6 @@ def test_entry_compiles():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert int(out[-1]) > 0  # transformed total
+    # (words, bits, tables, lane_bits, rle_lens, carries)
+    assert int(out[4].sum()) > 0  # transformed total
+    assert int(out[1].sum()) > 0  # packed bits

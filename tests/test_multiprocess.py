@@ -29,20 +29,21 @@ jax.distributed.initialize(
     process_id=int(sys.argv[1]),
 )
 import jax.numpy as jnp
-from huffman_codec_tpu.ops.fgk import max_code_bits
+from huffman_codec_tpu.models.chunked import _n_words_for
 from huffman_codec_tpu.parallel.mesh import (
-    default_mesh, distributed_encode_step)
+    default_mesh, distributed_encode_step, sharded_cap)
 
 assert len(jax.devices()) == 4, jax.devices()
 mesh = default_mesh()
-chunk_size, n_chunks = 64, 4
+chunk_size, n_chunks, lane = 64, 4, 64
 n = chunk_size * n_chunks
 rng = np.random.default_rng(7)
 raw = rng.integers(0, 8, n, dtype=np.uint8)
 data = jnp.asarray(raw)
-n_words = (chunk_size * max_code_bits(chunk_size) + 31) // 32 + 2
-words, bits, rle_lens = distributed_encode_step(
-    data, jnp.int32(n), mesh, chunk_size, n_words, use_diff=True)
+n_words = _n_words_for(sharded_cap(chunk_size, "canonical", lane), "canonical")
+words, bits, tables, lane_bits, rle_lens, carries = distributed_encode_step(
+    data, jnp.int32(n), mesh, chunk_size, n_words, use_diff=True,
+    entropy="canonical", lane=lane)
 print("OK", int(jnp.sum(bits)), flush=True)
 """
 

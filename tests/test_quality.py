@@ -1,6 +1,13 @@
-"""Compression-quality guard: v3 canonical must stay near the reference's
-adaptive-FGK sizes (BASELINE.md §B) — the per-chunk optimal tables should
-make up for the manifest overhead."""
+"""Compression-quality guard: v3 canonical vs the reference's measured
+compressed sizes (BASELINE.md §B), ALL 12 corpus files x ALL 4 pipeline
+configs. The per-chunk optimal tables should make up for the manifest
+overhead on real payloads; tiny payloads (the df1* gradients) are dominated
+by the fixed manifest, so the bound is two-tier:
+
+- ref > 20 KB: strict  ours <= 1.05 * ref
+- ref <= 20 KB: ours <= ref + 3 KB (manifest floor: 41 B header + ~420 B
+  per chunk of tables/lane-bits + adaptive tile metadata)
+"""
 
 import pathlib
 
@@ -13,16 +20,43 @@ from huffman_codec_tpu.models import CodecConfig, TPUCodec  # noqa: E402
 
 DATA = pathlib.Path("/root/reference/data")
 
-# reference v1 `-m` compressed bytes measured on this machine (BASELINE.md §B)
-REF_M = {"hd01.raw": 88113, "hd02.raw": 86556}
+# reference compressed bytes measured on this machine (BASELINE.md §B);
+# columns: static, -m, -a, -a -m
+REF = {
+    "df1h.raw": (262536, 648, 3931, 662),
+    "df1hvx.raw": (80254, 33499, 54436, 16786),
+    "df1v.raw": (3906, 975, 3947, 658),
+    "hd01.raw": (100357, 88113, 99492, 87901),
+    "hd01double.raw": (200325, 175866, 198585, 175428),
+    "hd01extra.raw": (100395, 88134, 99531, 87921),
+    "hd02.raw": (95543, 86556, 94757, 86593),
+    "hd07.raw": (157708, 109682, 156921, 108930),
+    "hd08.raw": (113784, 98692, 112142, 98643),
+    "hd09.raw": (217967, 152382, 215665, 151875),
+    "hd12.raw": (178002, 126773, 176367, 125762),
+    "nk01.raw": (212556, 198352, 212377, 198357),
+}
+CONFIGS = [  # (column index, use_diff, use_adapt)
+    (0, False, False),
+    (1, True, False),
+    (2, False, True),
+    (3, True, True),
+]
 
 
-@pytest.mark.parametrize("name", sorted(REF_M))
-def test_v3_size_near_reference(name):
+@pytest.mark.parametrize("col,use_diff,use_adapt", CONFIGS,
+                         ids=["static", "m", "a", "am"])
+@pytest.mark.parametrize("name", sorted(REF))
+def test_v3_size_vs_reference(name, col, use_diff, use_adapt):
     raw = (DATA / name).read_bytes()
-    codec = TPUCodec(CodecConfig(use_diff=True, chunk_size=65536))
+    codec = TPUCodec(CodecConfig(use_diff=use_diff, use_adapt=use_adapt,
+                                 chunk_size=65536))
     blob = codec.encode(raw)
-    assert len(blob) <= REF_M[name] * 1.03, (len(blob), REF_M[name])
+    ref = REF[name][col]
+    if ref > 20000:
+        assert len(blob) <= ref * 1.05, (name, col, len(blob), ref)
+    else:
+        assert len(blob) <= ref + 3072, (name, col, len(blob), ref)
     assert codec.decode(blob) == raw
 
 
