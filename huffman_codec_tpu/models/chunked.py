@@ -50,13 +50,18 @@ import numpy as np
 from huffman_codec_tpu.formats import FLAG_ADAPT, FLAG_DIFF
 
 FLAG_SHARDED = 0x20  # v3-only: transforms applied per input chunk
+FLAG_AGROUP = 0x10  # v3-only: grouped adaptive tile manifest
 from huffman_codec_tpu.ops.adapt import (
     ADAPT_HEADER_BYTES,
+    GROUP_K,
     adapt_decode_tiled,
     adapt_encode_fixed,
-    adapt_search_sizes,
+    adapt_group_tile_lens,
+    adapt_search_best_v3,
     candidate_sizes,
+    grouped_manifest,
     rle_max_encoded_len,
+    tile_len_width,
 )
 from huffman_codec_tpu.ops.canonical import (
     canonical_decode_batch,
@@ -377,13 +382,19 @@ class TPUCodec:
             max_chunks = _cdiv(cap, cs)
             if cfg.use_adapt:
                 w, h = cfg.width, n // cfg.width
-                sizes = np.asarray(adapt_search_sizes(x, w, h))
-                bs = candidate_sizes(w, h)[int(np.argmin(sizes))]
+                # the search must see the POST-diff matrix — the reference
+                # applies the diff model before the block-size search
+                # (main.cpp:63 -> transform.cpp:294) — and v3 prices the
+                # entropy stage + tile manifest, not the raw RLE size
+                sx = diff_apply(x) if cfg.use_diff else x
+                bs = adapt_search_best_v3(sx, w, h, cap)
                 words, bits, tables, lane_bits, total, dirs, tile_lens = (
                     _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
                                         max_chunks, cfg.entropy, cfg.lane))
-                adapt_meta = (w, h, bs, np.asarray(dirs),
-                              np.asarray(tile_lens))
+                tile_lens = np.asarray(tile_lens)
+                est_payload = int(np.asarray(bits).sum()) // 8
+                grouped = grouped_manifest(len(tile_lens), bs, est_payload)
+                adapt_meta = (w, h, bs, np.asarray(dirs), tile_lens, grouped)
             else:
                 words, bits, tables, lane_bits, total = _encode_stream_stage(
                     x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
@@ -407,19 +418,34 @@ class TPUCodec:
     def _container(self, payload, orig, total, chunk_bits, adapt_meta,
                    tables, lane_bits, sharded_meta, crc=0) -> bytes:
         cfg = self.config
+        flags = cfg.flags()
+        grouped = (cfg.use_adapt and adapt_meta is not None
+                   and adapt_meta[5])
+        if grouped:
+            flags |= FLAG_AGROUP
         out = bytearray()
         out += V3_MAGIC
         out.append(1)
-        out.append(cfg.flags())
+        out.append(flags)
         out.append(_ENTROPY[cfg.entropy])
         out += struct.pack("<QQIIII", orig, total, cfg.chunk_size,
                            len(chunk_bits), cfg.lane, crc)
         if cfg.use_adapt and adapt_meta is not None:
-            w, h, bs, dirs, tile_lens = adapt_meta
+            w, h, bs, dirs, tile_lens, grouped = adapt_meta
             nt = len(tile_lens)
             out += struct.pack("<QQQI", w, h, bs, nt)
             out += np.packbits(np.asarray(dirs, np.uint8)).tobytes()
-            out += np.asarray(tile_lens, "<u4").tobytes()
+            if grouped:
+                # one u32 byte-offset per GROUP_K tiles; per-tile lengths
+                # are rediscovered on device (ops/adapt.py
+                # adapt_group_tile_lens) — 64x smaller manifest
+                offs = np.concatenate(
+                    [[0], np.cumsum(tile_lens.astype(np.int64))])
+                out += offs[:nt:GROUP_K].astype("<u4").tobytes()
+            else:
+                # tile-length width is implied by bs (tile_len_width)
+                out += np.asarray(tile_lens,
+                                  f"<u{tile_len_width(bs)}").tobytes()
         out += np.asarray(chunk_bits, "<u4").tobytes()
         if sharded_meta is not None:
             rle_lens, carries = sharded_meta
@@ -501,8 +527,19 @@ class TPUCodec:
             chunks = _entropy_decode(words, counts, hdr, cs)
             stream = chunks.reshape(-1)
             if hdr["flags"] & FLAG_ADAPT:
+                nt = len(hdr["dirs"])
+                if hdr["flags"] & FLAG_AGROUP:
+                    group_cap = GROUP_K * rle_max_encoded_len(
+                        hdr["bs"] * hdr["bs"])
+                    tl = adapt_group_tile_lens(
+                        stream,
+                        jnp.asarray(hdr["group_offs"].astype(np.int32)),
+                        jnp.int32(hdr["total"]), hdr["w"], hdr["h"],
+                        hdr["bs"], group_cap)[:nt]
+                else:
+                    tl = jnp.asarray(hdr["tile_lens"].astype(np.int32))
                 flat = _decode_adapt_tail(
-                    stream, jnp.asarray(hdr["tile_lens"].astype(np.int32)),
+                    stream, tl,
                     jnp.asarray(hdr["dirs"]), hdr["w"], hdr["h"], hdr["bs"],
                     use_diff,
                 )
@@ -573,9 +610,16 @@ class TPUCodec:
                 np.frombuffer(blob, np.uint8, ndb, pos), count=nt
             ).astype(bool)
             pos += ndb
-            tile_lens = np.frombuffer(blob, "<u4", nt, pos).copy()
-            pos += 4 * nt
-            hdr.update(w=w, h=h, bs=bs, dirs=dirs, tile_lens=tile_lens)
+            hdr.update(w=w, h=h, bs=bs, dirs=dirs)
+            if flags & FLAG_AGROUP:
+                ng = _cdiv(nt, GROUP_K)
+                hdr["group_offs"] = np.frombuffer(blob, "<u4", ng, pos).copy()
+                pos += 4 * ng
+            else:
+                tw = tile_len_width(bs)
+                tile_lens = np.frombuffer(blob, f"<u{tw}", nt, pos).copy()
+                pos += tw * nt
+                hdr["tile_lens"] = tile_lens
         chunk_bits = np.frombuffer(blob, "<u4", n_chunks, pos).tolist()
         pos += 4 * n_chunks
         if flags & FLAG_SHARDED and n_chunks:

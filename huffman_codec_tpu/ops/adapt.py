@@ -115,6 +115,147 @@ def adapt_search_sizes(matrix: jax.Array, width: int, height: int) -> jax.Array:
     return jnp.stack(totals)
 
 
+GROUP_K = 64  # tiles per manifest group in grouped-manifest mode
+
+
+def grouped_manifest(nt: int, bs: int, est_payload: int) -> bool:
+    """Use the grouped manifest when per-tile lengths would cost more than
+    ~1.5% of the estimated payload (huge tile counts at small bs — e.g.
+    512x512 @ bs=8 = 4096 tiles = 8 KB of u16 lens on a 16 KB payload)."""
+    per_tile = nt * tile_len_width(bs)
+    return nt > GROUP_K and per_tile > max(64, est_payload // 64)
+
+
+def _tile_geom_arrays(width: int, height: int, bs: int) -> np.ndarray:
+    """Static per-tile output sizes sx*sy (border tiles clamped)."""
+    bpl = -(-width // bs)
+    bpc = -(-height // bs)
+    t = np.arange(bpl * bpc)
+    sx = np.minimum(bs, width - (t % bpl) * bs)
+    sy = np.minimum(bs, height - (t // bpl) * bs)
+    return (sx * sy).astype(np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "bs", "group_cap"))
+def adapt_group_tile_lens(
+    stream: jax.Array,
+    group_offs: jax.Array,
+    total: jax.Array,
+    width: int,
+    height: int,
+    bs: int,
+    group_cap: int,
+) -> jax.Array:
+    """Recover per-tile RLE lengths from a grouped manifest.
+
+    ``group_offs`` (int32[n_groups]) are byte offsets of every GROUP_K-th
+    tile in the concatenated tile stream; within a group the boundaries are
+    rediscovered by walking the decoder FSM (transform.cpp:137-159) and
+    cutting each time the running output count reaches the tile's known
+    geometric size — groups run data-parallel, the serial walk is only
+    ``group_cap`` bytes deep. Returns int32[n_groups * GROUP_K] lengths
+    (zero-padded past n_tiles).
+    """
+    sizes_np = _tile_geom_arrays(width, height, bs)
+    ng = group_offs.shape[0]
+    npad = ng * GROUP_K
+    sizes = jnp.zeros((npad,), jnp.int32).at[: sizes_np.shape[0]].set(
+        jnp.asarray(sizes_np)).reshape(ng, GROUP_K)
+
+    j = jnp.arange(group_cap, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(group_offs[:, None] + j, 0,
+                    max(0, stream.shape[0] - 1))
+    seg = stream[gidx].astype(jnp.int32)  # (ng, group_cap)
+    glen = (jnp.concatenate(
+        [group_offs[1:], jnp.asarray(total, jnp.int32).reshape(1)])
+        - group_offs)  # bytes per group (total = true tile-stream length)
+
+    k = jnp.arange(GROUP_K, dtype=jnp.int32)
+
+    def step(carry, b):
+        # carry: (t_rel, produced, match, count) per group; b: (byte, pos)
+        t_rel, produced, match, count = carry
+        byte, pos = b
+        active = pos < glen
+        is_cnt = count == 3
+        emit = jnp.where(is_cnt, byte, 1)
+        new_match = jnp.where(is_cnt, match, byte)
+        eq = (match == byte) & ~is_cnt
+        new_count = jnp.where(is_cnt, 0, jnp.where(eq, count + 1, 1))
+        produced2 = produced + emit
+        # one-hot select, NOT a batched 1-element gather (scan-carried
+        # gathers unroll per batch row in the TPU lowering — the round-1
+        # compile bomb; see ops/canonical.py build_lengths)
+        tsize = jnp.sum(
+            jnp.where(k[None, :] == t_rel[:, None], sizes, 0), axis=1)
+        done = produced2 >= tsize  # tile complete -> FSM reset
+        t_rel2 = jnp.where(done, t_rel + 1, t_rel)
+        produced2 = jnp.where(done, 0, produced2)
+        new_match = jnp.where(done, -1, new_match)
+        new_count = jnp.where(done, 0, new_count)
+        out_t = jnp.where(active, t_rel, -1)
+        t_rel = jnp.where(active, t_rel2, t_rel)
+        produced = jnp.where(active, produced2, produced)
+        match = jnp.where(active, new_match, match)
+        count = jnp.where(active, new_count, count)
+        return (t_rel, produced, match, count), out_t
+
+    zero = jnp.zeros((ng,), jnp.int32)
+    init = (zero, zero, zero - 1, zero)
+    _, owner = jax.lax.scan(
+        step, init, (seg.T, jnp.broadcast_to(
+            jnp.arange(group_cap, dtype=jnp.int32)[:, None],
+            (group_cap, ng))))
+    # owner: (group_cap, ng) tile index per byte -> per-tile byte counts
+    lens = jnp.sum(owner[:, :, None] == k[None, None, :], axis=0,
+                   dtype=jnp.int32)  # (ng, GROUP_K)
+    return lens.reshape(-1)
+
+
+def tile_len_width(bs: int) -> int:
+    """Manifest bytes per tile length: a tile's RLE stream is at most
+    rle_max_encoded_len(bs*bs) bytes, so u16 suffices through bs=181."""
+    return 2 if rle_max_encoded_len(bs * bs) <= 0xFFFF else 4
+
+
+@jax.jit
+def _canonical_bits_estimate(stream: jax.Array, total: jax.Array) -> jax.Array:
+    """Estimated canonical-entropy payload bits of ``stream[:total]`` under
+    one optimal table — the cost model for the v3 block-size search."""
+    from huffman_codec_tpu.ops.canonical import build_lengths, histogram
+
+    counts = histogram(stream[None, :], total[None])
+    lens = build_lengths(counts)
+    return jnp.sum(counts * lens)
+
+
+def adapt_search_best_v3(matrix: jax.Array, width: int, height: int,
+                         out_len: int) -> int:
+    """v3 block-size search: minimize the ESTIMATED FINAL container bytes —
+    entropy-coded payload + the v3 tile manifest — not the raw RLE size.
+
+    The reference minimizes the pre-entropy stream (transform.cpp:309-325)
+    because its FGK stage is streamed; v3's canonical stage compresses the
+    candidates very differently (a small-tile stream is shorter but its
+    4x-larger tile manifest can swamp the gain), so the search must price
+    both. The v1 parity path keeps the reference objective.
+    """
+    best_score, best_bs = None, None
+    for bs in candidate_sizes(width, height):
+        stream, total, dirs, _ = adapt_encode_fixed(
+            matrix, width, height, bs, out_len=out_len)
+        nt = int(dirs.shape[0])
+        est = int(_canonical_bits_estimate(stream, total)) // 8
+        per_tile = nt * tile_len_width(bs)
+        if grouped_manifest(nt, bs, est):
+            per_tile = -(-nt // GROUP_K) * 4
+        score = est + per_tile + (nt + 7) // 8
+        if best_score is None or score < best_score:
+            best_score, best_bs = score, bs
+    return best_bs
+
+
 def _be64(v: int) -> np.ndarray:
     return np.frombuffer(int(v).to_bytes(8, "big"), np.uint8)
 

@@ -46,6 +46,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from huffman_codec_tpu.ops.compact import monotone_compact
+
 RESET_CHUNK = 258  # 255 (max count byte) + 3 literals, transform.cpp:256-263
 
 
@@ -90,7 +92,14 @@ def rle_encode(
     x: jax.Array, length: jax.Array | int | None = None, out_len: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Vectorized MNP-5 encode. Returns (padded output uint8[out_len], true
-    encoded length). Bit-exact with applyRLE (transform.cpp:241-279)."""
+    encoded length). Bit-exact with applyRLE (transform.cpp:241-279).
+
+    Compaction: slot 2i holds position i's literal, slot 2i+1 its count
+    byte; the emission offset IS each kept slot's rank, so the butterfly
+    ``monotone_compact`` routes everything in log2(2n) shift/select rounds.
+    XLA:TPU lowers colliding/unique scatters alike to ~14 ns per index
+    (measured: 233 ms for a 16.8 MB grid) and bitonic sort costs 57 ms;
+    the butterfly is pure VPU work — no indexed memory op survives."""
     n = x.shape[0]
     length = jnp.asarray(n if length is None else length, jnp.int32)
     if out_len is None:
@@ -98,19 +107,17 @@ def rle_encode(
     if n == 0:
         return jnp.zeros((out_len,), jnp.uint8), jnp.int32(0)
     emit_lit, emit_cnt, cnt_val = _emissions(x, length)
-    per_pos = emit_lit.astype(jnp.int32) + emit_cnt.astype(jnp.int32)
+    eli = emit_lit.astype(jnp.int32)
+    per_pos = eli + emit_cnt.astype(jnp.int32)
     off = jnp.cumsum(per_pos) - per_pos  # exclusive prefix sum
     total = off[-1] + per_pos[-1]
-    out = jnp.zeros((out_len,), jnp.uint8)
-    # out-of-range indices are dropped; keeping them DISTINCT per position
-    # lets XLA see the scatter as collision-free (unique_indices) — the
-    # colliding-scatter lowering serializes on TPU
-    idx32 = jnp.arange(n, dtype=jnp.int32)
-    lit_idx = jnp.where(emit_lit, off, out_len + idx32)
-    cnt_idx = jnp.where(emit_cnt, off + emit_lit.astype(jnp.int32),
-                        out_len + n + idx32)
-    out = out.at[lit_idx].set(x, mode="drop", unique_indices=True)
-    out = out.at[cnt_idx].set(cnt_val, mode="drop", unique_indices=True)
+    slot = jnp.arange(2 * n, dtype=jnp.int32)
+    i = slot >> 1
+    first = (slot & 1) == 0
+    emit = jnp.where(first, emit_lit[i], emit_cnt[i])
+    tgt = off[i] + jnp.where(first, 0, eli[i])  # == rank among emitted
+    val = jnp.where(first, x[i], cnt_val[i]).astype(jnp.int32)
+    out = monotone_compact(val, tgt, emit, out_len).astype(jnp.uint8)
     return out, total
 
 
