@@ -83,14 +83,13 @@ def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from huffman_codec_tpu.models.chunked import _n_words_for, _sharded_cap
+    from huffman_codec_tpu.models.chunked import _sharded_cap
     from huffman_codec_tpu.ops.canonical import (
         assign_codes, build_lengths, canonical_encode_batch, histogram)
     from huffman_codec_tpu.ops.rle import rle_encode
     from huffman_codec_tpu.utils.profiling import device_time
 
     cap = _sharded_cap(cs, "canonical", lane)
-    n_words = _n_words_for(cap, "canonical")
     chunks = step_dev.reshape(S, cs)
     full = jnp.full((S,), cs, jnp.int32)
     out = {}
@@ -108,7 +107,7 @@ def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
     out["assign_codes"] = device_time(assign_codes, (lens_t,), reps_hi=5,
                                       label="assign_codes", quiet=True)
     out["entropy_total"] = device_time(
-        lambda s, l: canonical_encode_batch(s, l, n_words, lane=lane),
+        lambda s, l: canonical_encode_batch(s, l, lane=lane),
         (streams, slens), reps_hi=5, label="entropy_total", quiet=True)
     out["gather_pack"] = (out["entropy_total"] - out["histogram"]
                           - out["build_lengths"] - out["assign_codes"])

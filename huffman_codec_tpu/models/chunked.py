@@ -27,10 +27,12 @@ v3 wire layout (all little-endian; contrast v1's mixed LE/BE, SURVEY.md §2.6):
     [adapt only] W u64 | H u64 | bs u64 | n_tiles u32
                  scanDir bits (ceil(nt/8) bytes, MSB-first)
                  tile_lens u32 * n_tiles
-    chunk_bits u64 * n_chunks
-    [canonical only] code-length tables u8[256] * n_chunks
-                     lane_bits u32 * (chunk_size/lane) * n_chunks
-    payload: byte-aligned per-chunk bitstreams, concatenated
+    chunk_bits u32 * n_chunks (canonical: 32 * total lane words)
+    [canonical only] code-length tables 5-bit packed (160 B) * n_chunks
+                     lane_words u16 * (L/lane) * n_chunks
+    payload: per-chunk bitstreams, concatenated; canonical lanes each
+             start WORD-aligned (<= 31 pad bits per lane) so the entropy
+             encode and decode are lane-local device kernels
 
 Unlike v1/v2, the adaptive header is NOT embedded in the compressed payload:
 the manifest replaces it, which is what makes tile decode parallel.
@@ -128,9 +130,13 @@ def _unpack5(raw: bytes, C: int) -> np.ndarray:
     return (bits << np.arange(4, -1, -1)).sum(axis=2).astype(np.uint8)
 
 
-def _n_words_for(chunk_size: int, entropy: str) -> int:
-    bits = 32 if entropy == "canonical" else max_code_bits(chunk_size)
-    return _cdiv(chunk_size * bits, 32) + 2
+def _n_words_for(length: int, entropy: str, lane: int = 512) -> int:
+    """Decode-side word buffer bound per chunk."""
+    if entropy == "canonical":
+        from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
+
+        return (length // lane) * lane_words_cap(lane)
+    return _cdiv(length * max_code_bits(length), 32) + 2
 
 
 # ---------------------------------------------------------------------------
@@ -147,10 +153,14 @@ def _chunkify(stream, total, chunk_size, max_chunks):
     return chunks, lens
 
 
-def _entropy_encode(chunks, lens, entropy, n_words, lane):
+def _entropy_encode(chunks, lens, entropy, lane):
+    """Uniform 4-tuple: canonical -> (lane_buf (C, n_lanes, W), lane_words
+    (C, n_lanes), tables, None); fgk -> (words, bits, None, None)."""
     if entropy == "canonical":
-        return canonical_encode_batch(chunks, lens, n_words, lane=lane)
-    words, bits = fgk_encode_batch(chunks, lens, n_words)
+        buf, lw, tables = canonical_encode_batch(chunks, lens, lane=lane)
+        return buf, lw, tables, None
+    L = chunks.shape[1]
+    words, bits = fgk_encode_batch(chunks, lens, _n_words_for(L, "fgk"))
     return words, bits, None, None
 
 
@@ -164,8 +174,7 @@ def _encode_stream_stage(data, use_diff: bool, chunk_size: int,
     x = diff_apply(data) if use_diff else data
     stream, total = rle_encode(x, out_len=max_chunks * chunk_size)
     chunks, lens = _chunkify(stream, total, chunk_size, max_chunks)
-    n_words = _n_words_for(chunk_size, entropy)
-    enc = _entropy_encode(chunks, lens, entropy, n_words, lane)
+    enc = _entropy_encode(chunks, lens, entropy, lane)
     return (*enc, total)
 
 
@@ -190,15 +199,16 @@ def _encode_adapt_stage(data, use_diff: bool, width: int, height: int,
     tile_total = total - header_len
     stream = jnp.roll(payload, -header_len)  # strip the v1-style header
     chunks, lens = _chunkify(stream, tile_total, chunk_size, max_chunks)
-    n_words = _n_words_for(chunk_size, entropy)
-    enc = _entropy_encode(chunks, lens, entropy, n_words, lane)
+    enc = _entropy_encode(chunks, lens, entropy, lane)
     return (*enc, tile_total, dirs, tile_lens)
 
 
 def _sharded_cap(chunk_size: int, entropy: str, lane: int) -> int:
-    """Padded per-chunk RLE buffer length (lane-aligned for canonical)."""
+    """Padded per-chunk RLE buffer length; canonical rounds to whole
+    lane-blocks (8 lanes, the Pallas kernel's row granularity)."""
     cap = rle_max_encoded_len(chunk_size)
-    return -(-cap // lane) * lane if entropy == "canonical" else cap
+    blk = 8 * lane
+    return -(-cap // blk) * blk if entropy == "canonical" else cap
 
 
 @functools.partial(
@@ -217,8 +227,8 @@ def _encode_sharded_stage(data, length, carry0, use_diff: bool,
     the manifest for random access). ``carry0`` is the input byte preceding
     ``data`` (0 at stream start) — it makes this stage restartable, which is
     what lets the streaming codec push arbitrary-size inputs through one
-    fixed-shape compilation. Returns (words, bits, tables, lane_bits,
-    rle_lens, carries)."""
+    fixed-shape compilation. Returns the _entropy_encode 4-tuple plus
+    (rle_lens, carries)."""
     chunks = data.reshape(n_chunks, chunk_size)
     in_lens = jnp.clip(
         length - jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size,
@@ -237,8 +247,7 @@ def _encode_sharded_stage(data, length, carry0, use_diff: bool,
         work = chunks
     enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
     rle_streams, rle_lens = enc(work, in_lens)
-    n_words = _n_words_for(cap, entropy)
-    out = _entropy_encode(rle_streams, rle_lens, entropy, n_words, lane)
+    out = _entropy_encode(rle_streams, rle_lens, entropy, lane)
     return (*out, rle_lens, carries)
 
 
@@ -261,7 +270,7 @@ def _entropy_decode(words, counts, hdr, chunk_size):
     if hdr["entropy"] == ENTROPY_CANONICAL:
         return canonical_decode_batch(
             jnp.asarray(words), jnp.asarray(hdr["tables"]),
-            jnp.asarray(hdr["lane_bits"]), counts,
+            jnp.asarray(hdr["lane_words"]), counts,
             lane=hdr["lane"], out_len=chunk_size,
         )
     return fgk_decode_batch(jnp.asarray(words), counts, chunk_size)
@@ -319,8 +328,8 @@ class TPUCodec:
         host's chunk range can be re-encoded anywhere — the stage is
         restartable via the carry byte — and its manifest columns spliced
         in. Chunks past the input are zero-padded (their in_lens mask to 0).
-        Returns device arrays (words, bits, tables, lane_bits, rle_lens,
-        carries) for the range, without blocking."""
+        Returns the _entropy_encode 4-tuple plus (rle_lens, carries) for
+        the range, as device arrays, without blocking."""
         cfg = self.config
         if cfg.layout != "sharded":
             raise ValueError("encode_chunk_range requires the sharded layout")
@@ -363,14 +372,14 @@ class TPUCodec:
             outs = [self.encode_chunk_range(arr, k * S, (k + 1) * S)
                     for k in range(n_steps)]
             if n_steps == 1:
-                words, bits, tables, lane_bits, rle_lens, carries = outs[0]
+                payload_a, meta_a, tables, _, rle_lens, carries = outs[0]
             else:
                 cols = []
                 for i in range(6):
                     vals = [o[i] for o in outs]
                     cols.append(None if vals[0] is None else np.concatenate(
                         [np.asarray(v) for v in vals]))
-                words, bits, tables, lane_bits, rle_lens, carries = cols
+                payload_a, meta_a, tables, _, rle_lens, carries = cols
             rle_lens = np.asarray(rle_lens)[:n_chunks]
             carries = np.asarray(carries)[:n_chunks]
             total = int(rle_lens.sum())
@@ -388,35 +397,52 @@ class TPUCodec:
                 # entropy stage + tile manifest, not the raw RLE size
                 sx = diff_apply(x) if cfg.use_diff else x
                 bs = adapt_search_best_v3(sx, w, h, cap)
-                words, bits, tables, lane_bits, total, dirs, tile_lens = (
+                payload_a, meta_a, tables, _, total, dirs, tile_lens = (
                     _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
                                         max_chunks, cfg.entropy, cfg.lane))
                 tile_lens = np.asarray(tile_lens)
-                est_payload = int(np.asarray(bits).sum()) // 8
+                if cfg.entropy == "canonical":
+                    est_payload = 4 * int(np.asarray(meta_a).sum())
+                else:
+                    est_payload = int(np.asarray(meta_a).sum()) // 8
                 grouped = grouped_manifest(len(tile_lens), bs, est_payload)
                 adapt_meta = (w, h, bs, np.asarray(dirs), tile_lens, grouped)
             else:
-                words, bits, tables, lane_bits, total = _encode_stream_stage(
+                payload_a, meta_a, tables, _, total = _encode_stream_stage(
                     x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
                 adapt_meta = None
             total = int(total)
             n_chunks = _cdiv(total, cs)
-        bits_np = np.asarray(bits)[:n_chunks]
-        words_np = np.asarray(words[:n_chunks])
-        streams = []
-        for c in range(n_chunks):
-            nb = (int(bits_np[c]) + 7) // 8
-            streams.append(_np_words_to_bytes(words_np[c], nb))
+        if cfg.entropy == "canonical":
+            # payload_a: (nc, n_lanes, W) word-aligned lane buffers;
+            # meta_a: (nc, n_lanes) used words per lane. One boolean mask
+            # strips the inter-lane padding (host memcpy speed).
+            lw = np.asarray(meta_a)[:n_chunks]
+            buf = np.asarray(payload_a)[:n_chunks]
+            colw = np.arange(buf.shape[2] if n_chunks else 0)
+            streams = [
+                buf[c].astype(">u4")[colw[None, :] < lw[c][:, None]].tobytes()
+                for c in range(n_chunks)
+            ]
+            chunk_bits = (lw.sum(axis=1, dtype=np.int64) * 32).tolist()
+            lanes_np = lw
+        else:
+            bits_np = np.asarray(meta_a)[:n_chunks]
+            words_np = np.asarray(payload_a[:n_chunks])
+            streams = []
+            for c in range(n_chunks):
+                nb = (int(bits_np[c]) + 7) // 8
+                streams.append(_np_words_to_bytes(words_np[c], nb))
+            chunk_bits = bits_np.tolist()
+            lanes_np = None
         tables_np = (np.asarray(tables)[:n_chunks]
                      if tables is not None else None)
-        lanes_np = (np.asarray(lane_bits)[:n_chunks]
-                    if lane_bits is not None else None)
-        return self._container(b"".join(streams), n, total, bits_np.tolist(),
+        return self._container(b"".join(streams), n, total, chunk_bits,
                                adapt_meta, tables_np, lanes_np,
                                sharded_meta, zlib.crc32(data))
 
     def _container(self, payload, orig, total, chunk_bits, adapt_meta,
-                   tables, lane_bits, sharded_meta, crc=0) -> bytes:
+                   tables, lane_words, sharded_meta, crc=0) -> bytes:
         cfg = self.config
         flags = cfg.flags()
         grouped = (cfg.use_adapt and adapt_meta is not None
@@ -453,7 +479,7 @@ class TPUCodec:
             out += np.asarray(carries, np.uint8).tobytes()
         if cfg.entropy == "canonical" and tables is not None:
             out += _pack5(np.asarray(tables))
-            out += np.asarray(lane_bits, "<u2").tobytes()
+            out += np.asarray(lane_words, "<u2").tobytes()
         out += payload
         return bytes(out)
 
@@ -461,16 +487,35 @@ class TPUCodec:
 
     def _load_words(self, blob, hdr, c0=0, c1=None):
         """Payload byte streams -> padded u32 word matrix for chunks
-        [c0, c1) (the manifest makes any chunk range addressable)."""
+        [c0, c1) (the manifest makes any chunk range addressable).
+
+        canonical: each lane is re-padded to the fixed ``Wl`` stride the
+        decoder expects (one boolean-mask scatter per chunk — memcpy
+        speed); fgk: the chunk's words are contiguous."""
+        from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
+
         cs = hdr["chunk_size"]
         entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
-        if hdr["flags"] & FLAG_SHARDED:
-            wpc = _n_words_for(_sharded_cap(cs, entropy, hdr["lane"]), entropy)
-        else:
-            wpc = _n_words_for(cs, entropy)
+        L = (_sharded_cap(cs, entropy, hdr["lane"])
+             if hdr["flags"] & FLAG_SHARDED else cs)
+        wpc = _n_words_for(L, entropy, hdr["lane"])
         c1 = hdr["n_chunks"] if c1 is None else c1
         words = np.zeros((c1 - c0, wpc), np.uint32)
         offs = np.cumsum([0] + [(b + 7) // 8 for b in hdr["chunk_bits"]])
+        if entropy == "canonical":
+            lane = hdr["lane"]
+            n_lanes = L // lane
+            Wl = lane_words_cap(lane)
+            col = np.arange(Wl)
+            for c in range(c0, c1):
+                pos = hdr["payload_off"] + int(offs[c])
+                nb = (hdr["chunk_bits"][c] + 7) // 8  # always 4 * sum(lw)
+                flat = np.frombuffer(blob, np.uint8, nb, pos)
+                w = flat.reshape(-1, 4).view(">u4")[:, 0].astype(np.uint32)
+                lw = hdr["lane_words"][c]
+                row = words[c - c0].reshape(n_lanes, Wl)
+                row[col[None, :] < lw[:, None]] = w
+            return words
         for c in range(c0, c1):
             pos = hdr["payload_off"] + int(offs[c])
             nb = (hdr["chunk_bits"][c] + 7) // 8
@@ -501,7 +546,7 @@ class TPUCodec:
                 sub = dict(hdr)
                 if hdr["entropy"] == ENTROPY_CANONICAL:
                     sub["tables"] = hdr["tables"][c0:c1]
-                    sub["lane_bits"] = hdr["lane_bits"][c0:c1]
+                    sub["lane_words"] = hdr["lane_words"][c0:c1]
                 if c1 - c0 < S:  # zero-pad the tail step to the fixed grid
                     pad = S - (c1 - c0)
                     w = np.pad(w, ((0, pad), (0, 0)))
@@ -510,7 +555,7 @@ class TPUCodec:
                     if hdr["entropy"] == ENTROPY_CANONICAL:
                         sub["tables"] = np.pad(sub["tables"],
                                                ((0, pad), (0, 0)))
-                        sub["lane_bits"] = np.pad(sub["lane_bits"],
+                        sub["lane_words"] = np.pad(sub["lane_words"],
                                                   ((0, pad), (0, 0)))
                 rl = jnp.asarray(rl)
                 chunks_rle = _entropy_decode(jnp.asarray(w), rl, sub, cap)
@@ -575,7 +620,7 @@ class TPUCodec:
         sub = dict(hdr)
         if hdr["entropy"] == ENTROPY_CANONICAL:
             sub["tables"] = hdr["tables"][c0:c1]
-            sub["lane_bits"] = hdr["lane_bits"][c0:c1]
+            sub["lane_words"] = hdr["lane_words"][c0:c1]
         entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
         cap = _sharded_cap(cs, entropy, hdr["lane"])
         rle_lens = jnp.asarray(hdr["rle_lens"][c0:c1].astype(np.int32))
@@ -635,10 +680,10 @@ class TPUCodec:
             tables = _unpack5(blob[pos : pos + 160 * n_chunks], n_chunks)
             pos += 160 * n_chunks
             lpc = L // lane
-            lane_bits = np.frombuffer(
+            lane_words = np.frombuffer(
                 blob, "<u2", lpc * n_chunks, pos).reshape(n_chunks, lpc)
             pos += 2 * lpc * n_chunks
             hdr.update(tables=tables,
-                       lane_bits=lane_bits.astype(np.uint32))
+                       lane_words=lane_words.astype(np.int32))
         hdr.update(chunk_bits=chunk_bits, payload_off=pos)
         return hdr

@@ -35,8 +35,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from huffman_codec_tpu.ops.pack import pack_codes
-
 N_SYM = 256
 MAX_LEN = 31  # left-justified 32-bit window decode
 BIG = jnp.int32(0x3FFFFFFF)
@@ -231,43 +229,41 @@ def assign_codes(lens: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "lane"))
-def canonical_encode_batch(
-    data: jax.Array, lengths: jax.Array, n_words: int, lane: int = 512
-):
-    """Encode (C, L) chunks. Returns (words (C, n_words), total_bits (C,),
-    lens_tables (C, 256) uint8, lane_bits (C, L//lane) u32)."""
+@functools.partial(jax.jit, static_argnames=("lane",))
+def canonical_encode_batch(data: jax.Array, lengths: jax.Array,
+                           lane: int = 512):
+    """Encode (C, L) chunks into word-aligned lane buffers.
+
+    Returns (lane_buf (C, n_lanes, W) uint32, lane_words (C, n_lanes)
+    int32, lens_tables (C, 256) uint8). Lane k of a chunk holds symbols
+    [k*lane, (k+1)*lane) packed MSB-first into lane_words[k] u32 words
+    (zero-padded to the word boundary — the v3 canonical wire layout);
+    the host strips the inter-lane padding with one boolean mask.
+
+    On accelerators the per-symbol table lookup + packing runs as the
+    fused Pallas ``lane_pack`` kernel (MXU one-hot matmuls + butterfly
+    placement); the XLA path (CPU tests) computes the identical layout
+    via ``lane_pack_xla`` (gather + per-lane pack_codes).
+    """
     C, L = data.shape
     if L % lane:
         raise ValueError("chunk length must divide by the lane size")
     counts = histogram(data, lengths)
     lens = build_lengths(counts)
     codes = assign_codes(lens)
+    tables = codes | (lens.astype(jnp.uint32) << 26)
 
-    sym = data.astype(jnp.int32)
-    # one packed gather instead of two: code in bits 0..25, len in 26..30
-    # (codes are < 2^26 whenever the max code length is <= 26, which the
-    # Fibonacci bound guarantees for chunks <= 196k symbols; longer chunks
-    # fall back to two gathers)
-    if L <= 196_418:
-        packed = codes.astype(jnp.int32) | (lens << 26)
-        per = jnp.take_along_axis(packed, sym, 1)  # (C, L)
-        code_per = per & ((1 << 26) - 1)
-        len_per = per >> 26
+    from huffman_codec_tpu.ops.pallas_kernels import (
+        _LB, lane_pack, lane_pack_xla)
+
+    use_pl = (jax.default_backend() != "cpu" and _use_pallas()
+              and lane % 128 == 0 and (L // lane) % _LB == 0)
+    if use_pl:
+        buf, bits = lane_pack(data, lengths, tables, lane)
     else:
-        code_per = jnp.take_along_axis(codes.astype(jnp.int32), sym, 1)
-        len_per = jnp.take_along_axis(lens, sym, 1)
-    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = idx < lengths[:, None]
-    len_per = jnp.where(valid, len_per, 0)
-    code_per = jnp.where(valid, code_per, 0)
-
-    lane_bits = jnp.sum(
-        len_per.reshape(C, L // lane, lane), axis=2).astype(jnp.uint32)
-    pack = jax.vmap(lambda lo, ln: pack_codes(
-        lo, jnp.zeros_like(lo), ln, n_words, max_len=32))
-    words, total = pack(code_per.astype(jnp.uint32), len_per)
-    return words, total, lens.astype(jnp.uint8), lane_bits
+        buf, bits = lane_pack_xla(data, lengths, tables, lane)
+    lane_words = (bits + 31) >> 5
+    return buf, lane_words, lens.astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -279,20 +275,31 @@ def canonical_encode_batch(
 def canonical_decode_batch(
     words: jax.Array,
     lens_tables: jax.Array,
-    lane_bits: jax.Array,
+    lane_words: jax.Array,
     lengths: jax.Array,
     lane: int = 512,
     out_len: int = 0,
 ):
-    """Decode (C, W) word streams back to (C, out_len) symbols.
+    """Decode PADDED lane-word buffers back to (C, out_len) symbols.
 
-    Lanes decode independently: lane k of chunk c starts at bit offset
-    cumsum(lane_bits)[k-1] and holds symbols [k*lane, (k+1)*lane) of the
-    chunk (clipped by the chunk's symbol count)."""
+    ``words`` is (C, n_lanes * Wl) with lane k's word-aligned bitstream at
+    words [k*Wl, k*Wl + lane_words[k]) — the fixed-stride layout the host
+    reconstructs from the wire with one boolean-mask scatter (memcpy
+    speed). Fixed offsets keep every lane's reads independent; lane k
+    holds symbols [k*lane, (k+1)*lane) of the chunk (clipped by the
+    symbol count). ``lane_words`` is only consulted by the wire loader;
+    decode itself needs no offsets manifest."""
     C, W = words.shape
-    n_lanes = lane_bits.shape[1]
+    n_lanes = lane_words.shape[1]
+    Wl = W // n_lanes
     if out_len <= 0:
         raise ValueError("canonical_decode_batch needs static out_len")
+    if jax.default_backend() != "cpu" and _use_pallas():
+        from huffman_codec_tpu.ops.pallas_kernels import lane_decode
+
+        out = lane_decode(words.reshape(C, n_lanes, Wl), lens_tables,
+                          lengths, lane=lane)
+        return out[:, :out_len]
     lens = lens_tables.astype(jnp.int32)
     first_code, start_index, canon_syms = canonical_tables(lens)
 
@@ -306,7 +313,9 @@ def canonical_decode_batch(
     bl_count = jnp.diff(start_index, axis=1)  # (C, 32): counts per length l=0..31
     bound = first_code[:, 1 : MAX_LEN + 1] + bl_count[:, 1 : MAX_LEN + 1]
 
-    off0 = jnp.cumsum(lane_bits, axis=1) - lane_bits  # (C, n_lanes) u32
+    off0 = jnp.broadcast_to(
+        (jnp.arange(n_lanes, dtype=jnp.uint32) * Wl * 32)[None, :],
+        (C, n_lanes))  # fixed-stride padded layout
     lane_syms = jnp.clip(
         lengths[:, None] - jnp.arange(n_lanes, dtype=jnp.int32)[None, :] * lane,
         0, lane,

@@ -11,8 +11,8 @@ else is local, so scaling is embarrassingly parallel and collective
 traffic is O(devices + manifest).
 
 This realizes the v3 container's "sharded" layout exactly — the outputs of
-``distributed_encode_step`` are the same (words, bits, tables, lane_bits,
-rle_lens, carries) columns ``models/chunked.py:_encode_sharded_stage``
+``distributed_encode_step`` are the same manifest columns
+``models/chunked.py:_encode_sharded_stage``
 produces, so a v3 sharded container assembled from a mesh encode is
 byte-identical to the single-chip one (pinned by ``__graft_entry__``'s
 dryrun and tests/test_distributed.py). Both entropy modes ride the mesh:
@@ -49,10 +49,12 @@ def default_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 
 
 def sharded_cap(chunk_size: int, entropy: str, lane: int) -> int:
-    """Padded per-chunk RLE buffer length (lane-aligned for canonical) —
-    must match models/chunked.py:_sharded_cap for container parity."""
+    """Padded per-chunk RLE buffer length; canonical rounds to whole
+    8-lane blocks (the Pallas kernel's row granularity) — must match
+    models/chunked.py:_sharded_cap for container parity."""
     cap = rle_max_encoded_len(chunk_size)
-    return -(-cap // lane) * lane if entropy == "canonical" else cap
+    blk = 8 * lane
+    return -(-cap // blk) * blk if entropy == "canonical" else cap
 
 
 @functools.partial(
@@ -74,10 +76,11 @@ def distributed_encode_step(
     """One sharded encode step over the mesh.
 
     ``data`` is uint8[n_chunks * chunk_size] (padded), ``length`` the true
-    byte count; n_chunks must divide by the mesh size. Returns replicated
-    (words (C, n_words), bits (C,), tables, lane_bits, rle_lens (C,),
-    carries (C,)) — per-chunk packed streams plus the v3 sharded manifest,
-    gathered over ICI. ``tables``/``lane_bits`` are None in fgk mode.
+    byte count; n_chunks must divide by the mesh size. Returns the
+    replicated v3 sharded manifest columns, gathered over ICI:
+    canonical -> (lane_buf (C, n_lanes, W), lane_words (C, n_lanes),
+    tables, rle_lens, carries); fgk -> (words (C, n_words), bits (C,),
+    None, rle_lens, carries). ``n_words`` only applies to fgk.
     """
     n = data.shape[0]
     n_chunks = n // chunk_size
@@ -90,7 +93,7 @@ def distributed_encode_step(
 
     out_specs = ((P(None, None), P(None), P(None), P(None))
                  if entropy == "fgk"
-                 else (P(None, None), P(None), P(None, None), P(None, None),
+                 else (P(None, None, None), P(None, None), P(None, None),
                        P(None), P(None)))
 
     @functools.partial(
@@ -124,12 +127,12 @@ def distributed_encode_step(
         enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
         rle_streams, rle_lens = enc(work, local_lengths)
         if entropy == "canonical":
-            words, bits, tables, lane_bits = canonical_encode_batch(
-                rle_streams, rle_lens, n_words, lane=lane)
+            buf, lane_words, tables = canonical_encode_batch(
+                rle_streams, rle_lens, lane=lane)
             # ordered manifest + stream assembly over ICI
             return tuple(
                 jax.lax.all_gather(x, axis, tiled=True)
-                for x in (words, bits, tables, lane_bits, rle_lens, carries))
+                for x in (buf, lane_words, tables, rle_lens, carries))
         words, bits = fgk_encode_batch(rle_streams, rle_lens, n_words)
         return tuple(
             jax.lax.all_gather(x, axis, tiled=True)
@@ -138,7 +141,7 @@ def distributed_encode_step(
     out = step(chunks, lengths)
     if entropy == "fgk":
         words, bits, rle_lens, carries = out
-        return words, bits, None, None, rle_lens, carries
+        return words, bits, None, rle_lens, carries
     return out
 
 
@@ -154,7 +157,7 @@ def distributed_decode_step(
     mesh: Mesh,
     chunk_size: int,
     tables: jax.Array | None = None,
-    lane_bits: jax.Array | None = None,
+    lane_words: jax.Array | None = None,
     use_diff: bool = True,
     entropy: str = "fgk",
     lane: int = 512,
@@ -170,7 +173,7 @@ def distributed_decode_step(
     if entropy == "canonical":
         in_specs = (P(axis, None), P(axis), P(axis), P(axis, None),
                     P(axis, None))
-        args = (words, rle_lens, carries, tables, lane_bits)
+        args = (words, rle_lens, carries, tables, lane_words)
     else:
         in_specs = (P(axis, None), P(axis), P(axis))
         args = (words, rle_lens, carries)
@@ -184,9 +187,9 @@ def distributed_decode_step(
     )
     def step(local_words, local_rle_lens, local_carries, *rest):
         if entropy == "canonical":
-            local_tables, local_lane_bits = rest
+            local_tables, local_lane_words = rest
             streams = canonical_decode_batch(
-                local_words, local_tables, local_lane_bits, local_rle_lens,
+                local_words, local_tables, local_lane_words, local_rle_lens,
                 lane=lane, out_len=cap)
         else:
             streams = fgk_decode_batch(local_words, local_rle_lens, cap)

@@ -39,8 +39,8 @@ def main():
 
     from huffman_codec_tpu.ops.rle import rle_encode, rle_decode
     from huffman_codec_tpu.ops.canonical import (
-        histogram, build_lengths, assign_codes, canonical_decode_batch)
-    from huffman_codec_tpu.ops.pack import pack_codes
+        histogram, build_lengths, assign_codes, canonical_decode_batch,
+        canonical_encode_batch)
     from huffman_codec_tpu.models.chunked import (
         _encode_sharded_stage, _n_words_for, _sharded_cap)
 
@@ -64,7 +64,6 @@ def main():
     _ = np.asarray(chunks[0, :1])
 
     cap = _sharded_cap(cs, "canonical", lane)
-    n_words = _n_words_for(cap, "canonical")
     report = {}
 
     if on("rle"):
@@ -93,21 +92,15 @@ def main():
 
     if on("pack"):
         def gather_and_pack(streams, slens, lt, cd):
-            sym = streams.astype(jnp.int32)
-            packed = cd.astype(jnp.int32) | (lt << 26)
-            per = jnp.take_along_axis(packed, sym, 1)
-            code_per = per & ((1 << 26) - 1)
-            len_per = per >> 26
-            idx = jnp.arange(streams.shape[1], dtype=jnp.int32)[None, :]
-            valid = idx < slens[:, None]
-            len_per = jnp.where(valid, len_per, 0)
-            code_per = jnp.where(valid, code_per, 0)
-            pk = jax.vmap(lambda lo, ln: pack_codes(
-                lo, jnp.zeros_like(lo), ln, n_words, max_len=32))
-            return pk(code_per.astype(jnp.uint32), len_per)
+            from huffman_codec_tpu.ops.pallas_kernels import (
+                lane_pack, lane_pack_xla)
+            tables = cd.astype(jnp.uint32) | (lt.astype(jnp.uint32) << 26)
+            fn = (lane_pack if jax.default_backend() != "cpu"
+                  else lane_pack_xla)
+            return fn(streams, slens, tables, lane)
         report["pack"] = device_time(
             gather_and_pack, (rle_streams, rle_lens, lens_t, codes),
-            label="gather+pack")
+            label="lane_pack (gather+pack)")
 
     if on("enc"):
         def full(d, l):
@@ -121,14 +114,17 @@ def main():
     enc_out = jax.jit(lambda d, l: _encode_sharded_stage(
         d, l, jnp.uint8(0), True, cs, C, "canonical", lane))(
             flat, jnp.int32(n))
-    words_e, bits_e, tables_e, lane_bits_e, rl = (
-        enc_out[0], enc_out[1], enc_out[2], enc_out[3], enc_out[4])
+    buf_e, lw_e, tables_e, rl = enc_out[0], enc_out[1], enc_out[2], enc_out[4]
+    # decode consumes the padded fixed-stride lane layout = the lane buffer
+    wpc = _n_words_for(cap, "canonical", lane)
+    words_e = buf_e.reshape(C, wpc)
+    lane_words_e = lw_e
 
     if on("dec"):
         def dec(w, t, lb, c):
             return canonical_decode_batch(w, t, lb, c, lane=lane, out_len=cap)
         report["dec"] = device_time(
-            dec, (words_e, tables_e, lane_bits_e, rl.astype(jnp.int32)),
+            dec, (words_e, tables_e, lane_words_e, rl.astype(jnp.int32)),
             label="canonical_decode")
         print(f"  -> entropy decode {mb / report['dec']:8.1f} MB/s",
               file=sys.stderr, flush=True)
@@ -136,7 +132,7 @@ def main():
     if on("rdec"):
         streams_d = jax.jit(lambda w, t, lb, c: canonical_decode_batch(
             w, t, lb, c, lane=lane, out_len=cap))(
-                words_e, tables_e, lane_bits_e, rl.astype(jnp.int32))
+                words_e, tables_e, lane_words_e, rl.astype(jnp.int32))
         rdec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=cs)[0])
         report["rdec"] = device_time(rdec, (streams_d, rl.astype(jnp.int32)),
                                      label="rle_decode")

@@ -70,14 +70,25 @@ def test_lengths_optimal_and_kraft(rows):
             assert int((c * cl).sum()) == scalar_huffman_cost(c.tolist())
 
 
+def _to_wire(buf, lane_words):
+    """Lane buffers -> per-chunk flat word rows (the v3 wire layout)."""
+    buf = np.asarray(buf)
+    lw = np.asarray(lane_words)
+    C, n_lanes, W = buf.shape
+    out = np.zeros((C, n_lanes * W), np.uint32)
+    col = np.arange(W)
+    for c in range(C):
+        w = buf[c][col[None, :] < lw[c][:, None]]
+        out[c, : w.shape[0]] = w
+    return jnp.asarray(out)
+
+
 @pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
 def test_roundtrip(rows):
     mat, lens, L = _chunks(rows)
-    n_words = L + 2
-    words, total, tables, lane_bits = canonical_encode_batch(
-        mat, lens, n_words, lane=512)
-    out = canonical_decode_batch(words, tables, lane_bits, lens,
-                                 lane=512, out_len=L)
+    buf, lane_words, tables = canonical_encode_batch(mat, lens, lane=512)
+    out = canonical_decode_batch(_to_wire(buf, lane_words), tables,
+                                 lane_words, lens, lane=512, out_len=L)
     got = np.asarray(out)
     for i, row in enumerate(rows):
         assert bytes(got[i][: len(row)]) == row
@@ -88,17 +99,36 @@ def test_roundtrip_large_multilane():
     data[1000:4000] = 7  # long runs + mixed entropy
     mat = jnp.asarray(data[None, :])
     lens = jnp.asarray(np.array([8192], np.int32))
-    words, total, tables, lane_bits = canonical_encode_batch(
-        mat, lens, 8194, lane=512)
-    assert lane_bits.shape == (1, 16)
-    out = canonical_decode_batch(words, tables, lane_bits, lens,
-                                 lane=512, out_len=8192)
+    buf, lane_words, tables = canonical_encode_batch(mat, lens, lane=512)
+    assert lane_words.shape == (1, 16)
+    out = canonical_decode_batch(_to_wire(buf, lane_words), tables,
+                                 lane_words, lens, lane=512, out_len=8192)
     assert bytes(np.asarray(out)[0]) == bytes(data)
 
 
-def test_lane_bits_sum_matches_total():
+def test_lane_words_bound_bits():
     rows = [bytes(RNG.integers(0, 16, 2048, dtype=np.uint8))]
     mat, lens, L = _chunks(rows)
-    words, total, tables, lane_bits = canonical_encode_batch(
-        mat, lens, L + 2, lane=512)
-    assert int(np.asarray(lane_bits).sum()) == int(total[0])
+    buf, lane_words, tables = canonical_encode_batch(mat, lens, lane=512)
+    # each lane: <= 512 symbols x <= 31 bits, word-aligned
+    lw = np.asarray(lane_words)
+    assert (lw >= 0).all() and (lw <= 512 * 31 // 32 + 1).all()
+    assert int(lw.sum()) > 0
+
+
+def test_pallas_lane_pack_interpret_matches_xla():
+    from huffman_codec_tpu.ops.canonical import assign_codes
+    from huffman_codec_tpu.ops.pallas_kernels import lane_pack, lane_pack_xla
+
+    data = RNG.integers(0, 90, (2, 16 * 512)).astype(np.uint8)
+    lens = np.array([16 * 512, 5000], np.int32)
+    counts = histogram(jnp.asarray(data), jnp.asarray(lens))
+    lt = build_lengths(counts)
+    codes = assign_codes(lt)
+    tables = codes | (lt.astype(jnp.uint32) << 26)
+    wx, bx = lane_pack_xla(jnp.asarray(data), jnp.asarray(lens), tables, 512)
+    wp, bp = lane_pack(jnp.asarray(data), jnp.asarray(lens), tables, 512,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(wx).astype(np.uint32),
+                                  np.asarray(wp))

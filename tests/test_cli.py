@@ -217,4 +217,5 @@ def test_stats_flag(tmp_path, sample):
             if l.startswith("{")][-1]
     m = _json.loads(line)
     assert m["input_bytes"] == 2048 and m["n_chunks"] == 2
-    assert 0 < m["bpc"] < 16 and m["encode_mbps"] > 0
+    # tiny input under compile latency can round to 0.000 MB/s
+    assert 0 < m["bpc"] < 16 and m["encode_s"] > 0
