@@ -17,13 +17,14 @@ the v5e with micro_rle.py / micro_pack.py, 16.8 MB grid):
 - ``lane_pack``: the canonical entropy encode hot path (per-symbol code
   lookup + MSB-first bit packing). XLA's per-element ops are hopeless
   here: a 256-entry ``take_along_axis`` costs ~10.6 ns/element (237 ms for
-  the grid) and every scatter ~14 ns/index (233-352 ms). Both become MXU
-  one-hot matmuls instead: symbols -> one_hot(sym) @ nibble-table, and
-  placement -> one_hot(target word) @ nibble-windows. Contributions to one
-  word have disjoint BITS, so nibble-wise f32 sums (<= 15) are exact and
-  sum == OR. Lanes are word-aligned in the v3 wire format (<= 31 pad bits
-  per lane) so packing is lane-LOCAL — no cross-lane carry, no global
-  merge; the host strips inter-lane padding with one boolean mask.
+  the grid) and every scatter ~14 ns/index (233-352 ms). The lookup is a
+  256-row one-hot sum-select against the broadcast table (every
+  intermediate keeps the lane axis — Mosaic's layout inference rejects
+  flatten-style reshapes like (8, 512) -> (4096, 1)), and placement is the
+  monotone butterfly network (ops/compact.py proof). Lanes are word-aligned
+  in the v3 wire format (<= 31 pad bits per lane) so packing is lane-LOCAL
+  — no cross-lane carry, no global merge; the host strips inter-lane
+  padding with one boolean mask.
 
 Each kernel takes an ``interpret`` flag for CPU-mode testing.
 """
@@ -137,33 +138,36 @@ def _column_place(tgt0, vals, valid, col, shift_by):
     return v
 
 
-def _lane_pack_kernel(len_ref, sym_ref, nib_ref, out_ref):
-    """One grid step = one chunk: per-symbol (code, len) via an MXU one-hot
-    matmul against the nibble-split table, lane-local offsets via log-shift
-    prefix sums, window construction on the VPU, and placement via the
-    monotone butterfly — no gather/scatter/sort anywhere; XLA:TPU executes
-    those at ~10-14 ns/element (measured). Each lane's bit count rides in
-    the buffer's spare tail word (column W-1, beyond the 497-word data
-    maximum)."""
+def _lane_pack_kernel(len_ref, sym_ref, tab_ref, out_ref):
+    """One grid step = one chunk: per-symbol (code, len) via a 256-row
+    sum-select against the packed table (the same gather-free pattern the
+    decode kernel uses — every shape keeps the lane axis, which is what
+    Mosaic's layout inference needs; flatten-style reshapes don't lower),
+    lane-local offsets via log-shift prefix sums, window construction on
+    the VPU, and placement via the monotone butterfly — no
+    gather/scatter/sort anywhere; XLA:TPU executes those at ~10-14
+    ns/element (measured). Each lane's bit count rides in the buffer's
+    spare tail word (column W-1, beyond the 497-word data maximum)."""
     c = pl.program_id(0)
     n_lanes, lane = sym_ref.shape[1], sym_ref.shape[2]
     W = out_ref.shape[2]
     length = len_ref[c]
-    nib = nib_ref[0]  # (256, 8) bf16 nibble table of code | len << 26
+    tab = tab_ref[0]  # (256, 1) i32 packed code | len << 26
+    krow = jax.lax.broadcasted_iota(jnp.int32, (N_SYM, lane), 0)
 
     def block(b, _):
         sym = sym_ref[0, pl.ds(b * _LB, _LB), :]  # (LB, lane) int32
-        flat = sym.reshape(_LB * lane, 1)
-        onehot = (flat == jax.lax.broadcasted_iota(
-            jnp.int32, (_LB * lane, 256), 1)).astype(jnp.bfloat16)
-        nibs = jnp.dot(onehot, nib, preferred_element_type=jnp.float32)
-        packed = jnp.zeros((_LB * lane,), jnp.int32)
-        for k in range(8):
-            packed = packed | (nibs[:, k].astype(jnp.int32) << (4 * k))
-        packed = packed.reshape(_LB, lane)
-        # mask symbols past the chunk's true stream length
         row = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 1)
+        # table lookup, one sublane row at a time: hit (256, lane) one-hot
+        # masks the broadcast table column; the sublane-axis sum collapses
+        # it to the row's packed values — all 2D, lane axis preserved
+        packed = jnp.zeros((_LB, lane), jnp.int32)
+        for r in range(_LB):
+            hit = krow == sym[r: r + 1, :]
+            val = jnp.sum(jnp.where(hit, tab, 0), axis=0, keepdims=True)
+            packed = jnp.where(row == r, val, packed)
+        # mask symbols past the chunk's true stream length
         pos = (b * _LB + row) * lane + col
         packed = jnp.where(pos < length, packed, 0)
         code = (packed & ((1 << 26) - 1)).astype(jnp.uint32)
@@ -177,7 +181,7 @@ def _lane_pack_kernel(len_ref, sym_ref, nib_ref, out_ref):
             acc = acc + jnp.where(col < d, 0, rr)
             d <<= 1
         off = acc - ln  # inclusive -> exclusive
-        total_bits = acc[:, lane - 1]
+        tb = acc[:, lane - 1: lane]  # (LB, 1) lane bit totals, kept 2D
 
         # 2-word windows, MSB of the code at in-window bit (off & 31)
         w0 = off >> 5
@@ -197,10 +201,10 @@ def _lane_pack_kernel(len_ref, sym_ref, nib_ref, out_ref):
         out0 = _column_place(w0, win0, valid, col, 0)
         out1 = _column_place(w0, win1, valid, col, 1)
         words = out0 | out1
-        used = (total_bits + 31) >> 5
-        words = jnp.where(col < used[:, None], words, 0)
+        used = (tb + 31) >> 5  # (LB, 1)
+        words = jnp.where(col < used, words, 0)
         # spare tail word (> 497-word data max) carries the lane bit count
-        words = jnp.where(col == W - 1, total_bits[:, None], words)
+        words = jnp.where(col == W - 1, tb, words)
         out_ref[0, pl.ds(b * _LB, _LB), :] = words[:, :W]
         return 0
 
@@ -228,10 +232,7 @@ def lane_pack(data: jax.Array, lengths: jax.Array, tables: jax.Array,
     if n_lanes % _LB:
         raise ValueError(f"n_lanes must divide by {_LB}")
     W = lane_words_cap(lane)
-    # nibble-split table: one-hot @ (256, 8) bf16 is exact (values <= 15)
-    nib = jnp.stack(
-        [((tables >> (4 * k)) & 0xF).astype(jnp.bfloat16) for k in range(8)],
-        axis=2)  # (C, 256, 8)
+    tab = tables.astype(jnp.int32)[:, :, None]  # (C, 256, 1), values < 2^31
     sym = data.reshape(C, n_lanes, lane).astype(jnp.int32)
     out = pl.pallas_call(
         _lane_pack_kernel,
@@ -240,14 +241,14 @@ def lane_pack(data: jax.Array, lengths: jax.Array, tables: jax.Array,
             grid=(C,),
             in_specs=[
                 pl.BlockSpec((1, n_lanes, lane), lambda c, lens: (c, 0, 0)),
-                pl.BlockSpec((1, 256, 8), lambda c, lens: (c, 0, 0)),
+                pl.BlockSpec((1, 256, 1), lambda c, lens: (c, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, n_lanes, W),
                                    lambda c, lens: (c, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((C, n_lanes, W), jnp.int32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), sym, nib)
+    )(lengths.astype(jnp.int32), sym, tab)
     bits = out[:, :, W - 1]
     words = out.at[:, :, W - 1].set(0).astype(jnp.uint32)
     return words, bits
@@ -313,7 +314,11 @@ def _lane_decode_kernel(len_ref, buf_ref, bound_ref, base_ref, canon_ref,
         active = k < ns  # (1, n_lanes)
         v = hi >> (32 - lvec).astype(jnp.uint32)  # (31, n_lanes)
         sel = v.astype(jnp.int32) < bound
-        ft = sel & (jax.lax.cumsum(sel.astype(jnp.int32), axis=0) == 1)
+        # sel is monotone in l (once true, stays true), so first-true is
+        # sel & ~sel[l-1] — roll down a row instead of cumsum (which has
+        # no Mosaic lowering); row 0 keeps plain sel
+        prev = pltpu.roll(sel.astype(jnp.int32), shift=1, axis=0)
+        ft = sel & ((lvec == 1) | (prev == 0))
         fti = ft.astype(jnp.int32)
         l = jnp.sum(fti * lvec, axis=0, keepdims=True)  # (1, n_lanes)
         idx = jnp.sum(fti * (base + v.astype(jnp.int32)), axis=0,
