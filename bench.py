@@ -93,9 +93,18 @@ def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
     chunks = step_dev.reshape(S, cs)
     full = jnp.full((S,), cs, jnp.int32)
     out = {}
-    renc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
-    out["rle_encode"] = device_time(renc, (chunks, full), reps_hi=5,
-                                    label="rle_encode", quiet=True)
+    if jax.default_backend() != "cpu" and cs % 128 == 0 and cap % 128 == 0:
+        from huffman_codec_tpu.ops.pallas_kernels import rle_diff_encode_fused
+
+        zc = jnp.zeros((S,), jnp.uint8)
+        renc = lambda x, l: rle_diff_encode_fused(x, l, zc, True, cap)
+        out["rle_encode"] = device_time(renc, (chunks, full), reps_hi=5,
+                                        label="rle_encode(fused)",
+                                        quiet=True)
+    else:
+        renc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
+        out["rle_encode"] = device_time(renc, (chunks, full), reps_hi=5,
+                                        label="rle_encode", quiet=True)
     streams, slens = jax.jit(renc)(chunks, full)
     slens = slens.astype(jnp.int32)
     out["histogram"] = device_time(histogram, (streams, slens), reps_hi=5,
@@ -114,12 +123,60 @@ def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
     return {k: round(v * 1e3, 3) for k, v in out.items()}
 
 
+def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
+    """Decode-side stage times: host parse, vectorized word loader, H2D
+    transfer, the entropy kernel, and the RLE+diff tail (device ms)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.models.chunked import (
+        _decode_sharded_tail, _entropy_decode, _sharded_cap)
+    from huffman_codec_tpu.utils.profiling import device_time
+
+    out = {}
+    t0 = _time.perf_counter()
+    hdr = codec._parse(blob)
+    out["parse"] = _time.perf_counter() - t0
+    rl = hdr["rle_lens"][:S].astype(np.int32)
+    car = hdr["carries"][:S]
+    sub = dict(hdr)
+    sub["tables"] = hdr["tables"][:S]
+    sub["lane_words"] = hdr["lane_words"][:S]
+    t0 = _time.perf_counter()
+    wd = codec._load_words_device(blob, hdr, 0, S, S)
+    rld = jax.device_put(jnp.asarray(rl))
+    card = jax.device_put(jnp.asarray(car))
+    jax.block_until_ready((wd, rld, card))
+    out["load+h2d+repad"] = _time.perf_counter() - t0
+    cap = _sharded_cap(cs, "canonical", lane)
+    out["entropy_decode"] = device_time(
+        lambda w_, r_: _entropy_decode(w_, r_, sub, cap), (wd, rld),
+        reps_hi=4, label="entropy_decode", quiet=True)
+    chunks_rle = jax.jit(
+        lambda w_, r_: _entropy_decode(w_, r_, sub, cap))(wd, rld)
+    out["rle_diff_tail"] = device_time(
+        lambda c_, r_, k_: _decode_sharded_tail(c_, r_, k_, cs, cap, True),
+        (chunks_rle, rld, card), reps_hi=4, label="rle_diff_tail",
+        quiet=True)
+    # device-resident decode throughput: the kernel path alone, the
+    # number comparable to the headline device encode (the end-to-end
+    # figure is capped by this rig's ~50 MB/s host<->device tunnel)
+    dev_s = out["entropy_decode"] + out["rle_diff_tail"]
+    out["device_decode_mbps"] = (S * cs) / dev_s / 1e6
+    return {k: round(v * 1e3, 3) if not k.endswith("mbps") else round(v, 1)
+            for k, v in out.items()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", default="corpus",
                     help="input path, or 'corpus' for the reference corpus "
                          "repeated to --min-bytes")
-    ap.add_argument("--min-bytes", type=int, default=1 << 24)
+    ap.add_argument("--min-bytes", type=int, default=1 << 26,
+                    help="64 MiB default: >= 4 fixed-grid steps, so the "
+                         "tunnel's ~26 ms dispatch round-trip amortizes")
     ap.add_argument("--chunk-size", type=int, default=1 << 16)
     ap.add_argument("--step-chunks", type=int, default=256,
                     help="chunks per fixed-grid step (the one compiled shape)")
@@ -200,6 +257,41 @@ def main() -> int:
             detail["stage_ms"] = f"failed: {type(e).__name__}"
             note(f"stage breakdown failed: {e!r}")
 
+    # streaming-overlap proof (SURVEY §2.8 PP): the same fixed-grid step,
+    # >= 4 steps (~64 MB of work), async pipelined dispatch vs a forced
+    # block_until_ready between steps. Reuses the resident step arrays so
+    # no extra input is staged; measures dispatch/compute overlap.
+    if not args.skip_stages:
+        try:
+            ksteps = (steps * 4)[: max(4, n_steps)]
+
+            def over_pass(sync_each: bool) -> float:
+                t0 = time.perf_counter()
+                outs = []
+                for st in ksteps:
+                    o = _encode_sharded_stage(
+                        st, jnp.int32(step_bytes), np.uint8(0), True, cs, S,
+                        args.entropy, args.lane)
+                    if sync_each:
+                        jax.block_until_ready(o[1])
+                    outs.append(o)
+                jax.block_until_ready(outs[-1][1])
+                return time.perf_counter() - t0
+
+            over_pass(False)  # warm
+            t_async = min(over_pass(False) for _ in range(3))
+            t_serial = min(over_pass(True) for _ in range(3))
+            detail["overlap"] = {
+                "steps": len(ksteps),
+                "mb": round(len(ksteps) * step_bytes / 1e6, 1),
+                "async_s": round(t_async, 4), "serial_s": round(t_serial, 4),
+                "speedup": round(t_serial / t_async, 3),
+            }
+            note(f"streaming overlap: {detail['overlap']}")
+        except Exception as e:  # noqa: BLE001
+            detail["overlap"] = f"failed: {type(e).__name__}"
+            note(f"overlap check failed: {e!r}")
+
     try:
         codec = TPUCodec(CodecConfig(
             use_diff=True, chunk_size=cs, entropy=args.entropy,
@@ -221,8 +313,21 @@ def main() -> int:
             ddt = sorted(dts)[len(dts) // 2]
             detail["decode_mbps"] = round(n / ddt / 1e6, 3)
             note(f"decode timed: median {ddt:.4f}s = "
-                 f"{detail['decode_mbps']} MB/s (host loop incl. "
+                 f"{detail['decode_mbps']} MB/s (end-to-end incl. "
                  f"container parse)")
+            if not args.skip_stages:
+                try:
+                    detail["decode_stage_ms"] = _decode_breakdown(
+                        codec, blob, S, cs, args.lane)
+                    dd = detail["decode_stage_ms"].pop(
+                        "device_decode_mbps", None)
+                    if dd is not None:
+                        detail["decode_device_mbps"] = dd
+                    note(f"decode stages: {detail['decode_stage_ms']} "
+                         f"device_decode={dd} MB/s")
+                except Exception as e:  # noqa: BLE001 — best-effort
+                    detail["decode_stage_ms"] = f"failed: {type(e).__name__}"
+                    note(f"decode breakdown failed: {e!r}")
     except Exception as e:  # noqa: BLE001 — keep the encode number
         detail["container_error"] = f"{type(e).__name__}: {e}"
         note(f"container/decode phase failed: {e!r}")

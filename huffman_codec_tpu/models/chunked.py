@@ -112,12 +112,6 @@ def _np_words_to_bytes(words: np.ndarray, n_bytes: int) -> bytes:
     return words.astype(">u4").tobytes()[:n_bytes]
 
 
-def _np_bytes_to_words(data: np.ndarray, n_words: int) -> np.ndarray:
-    buf = np.zeros(n_words * 4, np.uint8)
-    buf[: data.shape[0]] = data
-    return buf.view(">u4").astype(np.uint32)
-
-
 def _pack5(vals: np.ndarray) -> bytes:
     """(C, 256) code lengths (<32) -> 5-bit packed, 160 bytes per chunk."""
     bits = (vals[..., None] >> np.arange(4, -1, -1)) & 1
@@ -240,13 +234,24 @@ def _encode_sharded_stage(data, length, carry0, use_diff: bool,
     # output is masked by in_lens == 0
     carries = jnp.concatenate(
         [jnp.asarray(carry0, jnp.uint8).reshape(1), chunks[:-1, -1]])
-    if use_diff:
-        prev = jnp.concatenate([carries[:, None], chunks[:, :-1]], axis=1)
-        work = (chunks - prev).astype(jnp.uint8)
+    from huffman_codec_tpu.ops.canonical import _use_pallas
+
+    if (jax.default_backend() != "cpu" and _use_pallas()
+            and chunk_size % 128 == 0 and cap % 128 == 0):
+        # fused Pallas diff+RLE (the XLA formulation round-trips 2n-wide
+        # arrays through HBM per butterfly stage — measured 38 ms/16.8 MB)
+        from huffman_codec_tpu.ops.pallas_kernels import rle_diff_encode_fused
+
+        rle_streams, rle_lens = rle_diff_encode_fused(
+            chunks, in_lens, carries, use_diff, cap)
     else:
-        work = chunks
-    enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
-    rle_streams, rle_lens = enc(work, in_lens)
+        if use_diff:
+            prev = jnp.concatenate([carries[:, None], chunks[:, :-1]], axis=1)
+            work = (chunks - prev).astype(jnp.uint8)
+        else:
+            work = chunks
+        enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
+        rle_streams, rle_lens = enc(work, in_lens)
     out = _entropy_encode(rle_streams, rle_lens, entropy, lane)
     return (*out, rle_lens, carries)
 
@@ -268,12 +273,27 @@ def _decode_sharded_tail(chunks_rle, rle_lens, carries, chunk_size: int,
 
 def _entropy_decode(words, counts, hdr, chunk_size):
     if hdr["entropy"] == ENTROPY_CANONICAL:
+        max_len = hdr.get("max_len_bucket", 31)
         return canonical_decode_batch(
             jnp.asarray(words), jnp.asarray(hdr["tables"]),
             jnp.asarray(hdr["lane_words"]), counts,
-            lane=hdr["lane"], out_len=chunk_size,
+            lane=hdr["lane"], out_len=chunk_size, max_len=max_len,
         )
     return fgk_decode_batch(jnp.asarray(words), counts, chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("n_lanes", "wb"))
+def _repad_words(flat, lane_words, n_lanes: int, wb: int):
+    """Contiguous payload words -> the decoder's padded fixed-stride
+    layout, on device: offsets = one cumsum of lane_words, layout = one
+    vectorized gather (clamped) + mask."""
+    lw = lane_words.astype(jnp.int32)
+    lane_off = (jnp.cumsum(lw.reshape(-1)) - lw.reshape(-1)).reshape(lw.shape)
+    col = jnp.arange(wb, dtype=jnp.int32)
+    idx = lane_off[:, :, None] + col[None, None, :]
+    w = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    return jnp.where(col[None, None, :] < lw[:, :, None], w, 0).reshape(
+        lw.shape[0], n_lanes * wb)
 
 
 @functools.partial(jax.jit, static_argnames=("out_len", "use_diff"))
@@ -487,42 +507,79 @@ class TPUCodec:
 
     def _load_words(self, blob, hdr, c0=0, c1=None):
         """Payload byte streams -> padded u32 word matrix for chunks
-        [c0, c1) (the manifest makes any chunk range addressable).
+        [c0, c1) (the manifest makes any chunk range addressable) —
+        fully vectorized numpy (the round-2 per-chunk Python loop was the
+        decode bottleneck: 256 iterations rebuilding 92 MB serially).
 
-        canonical: each lane is re-padded to the fixed ``Wl`` stride the
-        decoder expects (one boolean-mask scatter per chunk — memcpy
-        speed); fgk: the chunk's words are contiguous."""
-        from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
-
+        canonical: each lane is re-padded to the BUCKETED stride
+        ``hdr['wl_bucket']`` (smallest power of two covering the
+        container's fattest lane, floor 8 for Mosaic sublane tiling) —
+        typically 8x smaller than the worst-case ``lane_words_cap``
+        stride, shrinking both the host->device transfer and the decode
+        kernel's refill one-hot. fgk: chunk words are contiguous."""
         cs = hdr["chunk_size"]
         entropy = "canonical" if hdr["entropy"] == ENTROPY_CANONICAL else "fgk"
         L = (_sharded_cap(cs, entropy, hdr["lane"])
              if hdr["flags"] & FLAG_SHARDED else cs)
-        wpc = _n_words_for(L, entropy, hdr["lane"])
         c1 = hdr["n_chunks"] if c1 is None else c1
-        words = np.zeros((c1 - c0, wpc), np.uint32)
-        offs = np.cumsum([0] + [(b + 7) // 8 for b in hdr["chunk_bits"]])
+        C = c1 - c0
+        offs = hdr["chunk_offs"]
+        base = hdr["payload_off"] + int(offs[c0])
+        nbytes = int(offs[c1] - offs[c0])
         if entropy == "canonical":
             lane = hdr["lane"]
             n_lanes = L // lane
-            Wl = lane_words_cap(lane)
-            col = np.arange(Wl)
-            for c in range(c0, c1):
-                pos = hdr["payload_off"] + int(offs[c])
-                nb = (hdr["chunk_bits"][c] + 7) // 8  # always 4 * sum(lw)
-                flat = np.frombuffer(blob, np.uint8, nb, pos)
-                w = flat.reshape(-1, 4).view(">u4")[:, 0].astype(np.uint32)
-                lw = hdr["lane_words"][c]
-                row = words[c - c0].reshape(n_lanes, Wl)
-                row[col[None, :] < lw[:, None]] = w
-            return words
-        for c in range(c0, c1):
-            pos = hdr["payload_off"] + int(offs[c])
-            nb = (hdr["chunk_bits"][c] + 7) // 8
-            chunk = np.frombuffer(blob, np.uint8, nb, pos)
-            w = _np_bytes_to_words(chunk, _cdiv(nb, 4))
-            words[c - c0, : w.shape[0]] = w
-        return words
+            Wb = hdr["wl_bucket"]
+            if C == 0 or nbytes == 0:
+                return np.zeros((C, n_lanes * Wb), np.uint32)
+            # canonical chunk streams are word-aligned (chunk_bits =
+            # 32 * sum(lane_words)), so one big-endian u32 view + one
+            # fancy-index gather rebuilds every lane row at once
+            flat = np.frombuffer(blob, ">u4", nbytes // 4, base).astype(
+                np.uint32)
+            lw = hdr["lane_words"][c0:c1].astype(np.int64)  # (C, n_lanes)
+            lane_off = np.concatenate(
+                [[0], np.cumsum(lw.reshape(-1))])[:-1].reshape(C, n_lanes)
+            col = np.arange(Wb, dtype=np.int64)
+            idx = lane_off[:, :, None] + col[None, None, :]
+            words = flat[np.minimum(idx, flat.size - 1)]
+            words[col[None, None, :] >= lw[:, :, None]] = 0
+            return words.reshape(C, n_lanes * Wb)
+        wpc = _n_words_for(L, entropy, hdr["lane"])
+        if C == 0 or nbytes == 0:
+            return np.zeros((C, wpc), np.uint32)
+        payload = np.frombuffer(blob, np.uint8, nbytes, base)
+        chunk_nb = (offs[c0 + 1 : c1 + 1] - offs[c0:c1]).astype(np.int64)
+        bidx = ((offs[c0:c1] - offs[c0])[:, None]
+                + np.arange(4 * wpc, dtype=np.int64)[None, :])
+        valid = np.arange(4 * wpc, dtype=np.int64)[None, :] < chunk_nb[:, None]
+        b = payload[np.minimum(bidx, payload.size - 1)]
+        b[~valid] = 0
+        b = b.reshape(C, wpc, 4).astype(np.uint32)
+        return (b[:, :, 0] << 24) | (b[:, :, 1] << 16) | (b[:, :, 2] << 8) \
+            | b[:, :, 3]
+
+    def _load_words_device(self, blob, hdr, c0, c1, rows):
+        """Canonical word loader with the re-pad ON DEVICE: only the
+        contiguous payload range (plus the tiny lane_words manifest)
+        crosses the host->device link — ~4x less transfer than shipping
+        the padded buffer, and the padded layout is built by one XLA
+        gather instead of host numpy. ``rows`` >= c1-c0 zero-pads the
+        chunk axis to the fixed step grid."""
+        cs = hdr["chunk_size"]
+        L = (_sharded_cap(cs, "canonical", hdr["lane"])
+             if hdr["flags"] & FLAG_SHARDED else cs)
+        n_lanes = L // hdr["lane"]
+        Wb = hdr["wl_bucket"]
+        offs = hdr["chunk_offs"]
+        base = hdr["payload_off"] + int(offs[c0])
+        nbytes = int(offs[c1] - offs[c0])
+        lw = np.zeros((rows, n_lanes), np.int32)
+        lw[: c1 - c0] = hdr["lane_words"][c0:c1]
+        if nbytes == 0:
+            return jnp.zeros((rows, n_lanes * Wb), jnp.uint32)
+        flat = np.frombuffer(blob, ">u4", nbytes // 4, base).astype(np.uint32)
+        return _repad_words(jnp.asarray(flat), jnp.asarray(lw), n_lanes, Wb)
 
     def decode(self, blob: bytes) -> bytes:
         hdr = self._parse(blob)
@@ -540,23 +597,26 @@ class TPUCodec:
             parts = []  # collected without blocking (async dispatch)
             for k in range(n_steps):
                 c0, c1 = k * S, min(n_chunks, (k + 1) * S)
-                w = self._load_words(blob, hdr, c0, c1)
                 rl = hdr["rle_lens"][c0:c1].astype(np.int32)
                 car = hdr["carries"][c0:c1]
                 sub = dict(hdr)
                 if hdr["entropy"] == ENTROPY_CANONICAL:
+                    w = self._load_words_device(blob, hdr, c0, c1, S)
                     sub["tables"] = hdr["tables"][c0:c1]
                     sub["lane_words"] = hdr["lane_words"][c0:c1]
+                else:
+                    w = self._load_words(blob, hdr, c0, c1)
                 if c1 - c0 < S:  # zero-pad the tail step to the fixed grid
                     pad = S - (c1 - c0)
-                    w = np.pad(w, ((0, pad), (0, 0)))
-                    rl = np.pad(rl, (0, pad))
-                    car = np.pad(car, (0, pad))
                     if hdr["entropy"] == ENTROPY_CANONICAL:
                         sub["tables"] = np.pad(sub["tables"],
                                                ((0, pad), (0, 0)))
                         sub["lane_words"] = np.pad(sub["lane_words"],
                                                   ((0, pad), (0, 0)))
+                    else:
+                        w = np.pad(w, ((0, pad), (0, 0)))
+                    rl = np.pad(rl, (0, pad))
+                    car = np.pad(car, (0, pad))
                 rl = jnp.asarray(rl)
                 chunks_rle = _entropy_decode(jnp.asarray(w), rl, sub, cap)
                 parts.append(_decode_sharded_tail(
@@ -565,7 +625,10 @@ class TPUCodec:
                     np.concatenate([np.asarray(p) for p in parts]))
             out = flat[: hdr["orig"]]
         else:
-            words = self._load_words(blob, hdr)
+            words = (self._load_words_device(blob, hdr, 0, n_chunks,
+                                             n_chunks)
+                     if hdr["entropy"] == ENTROPY_CANONICAL
+                     else self._load_words(blob, hdr))
             counts = jnp.asarray(np.clip(
                 hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
             ).astype(np.int32))
@@ -683,7 +746,28 @@ class TPUCodec:
             lane_words = np.frombuffer(
                 blob, "<u2", lpc * n_chunks, pos).reshape(n_chunks, lpc)
             pos += 2 * lpc * n_chunks
-            hdr.update(tables=tables,
-                       lane_words=lane_words.astype(np.int32))
-        hdr.update(chunk_bits=chunk_bits, payload_off=pos)
+            lw = lane_words.astype(np.int32)
+            mx = int(lw.max()) if lw.size else 1
+            # decoder stride: power-of-two bucket over the fattest lane
+            # (floor 8 keeps the Mosaic sublane tile; cap = worst case)
+            from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
+
+            wb = 8
+            while wb < mx:
+                wb <<= 1
+            # static max-code-length bucket (one compiled decode shape per
+            # container): shrinks the kernel's per-symbol boundary compare
+            ml = int(tables.max()) if tables.size else 1
+            hdr.update(tables=tables, lane_words=lw,
+                       wl_bucket=min(wb, lane_words_cap(lane)),
+                       max_len_bucket=next(
+                           b for b in (8, 12, 16, 24, 31) if b >= ml))
+        hdr.update(
+            chunk_bits=chunk_bits, payload_off=pos,
+            chunk_offs=np.concatenate([
+                np.zeros(1, np.int64),
+                np.cumsum(np.asarray([(b + 7) // 8 for b in chunk_bits],
+                                     dtype=np.int64)),
+            ]),
+        )
         return hdr

@@ -35,6 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from huffman_codec_tpu.ops.compact import butterfly_place
+
 N_SYM = 256
 MAX_LEN = 31  # left-justified 32-bit window decode
 BIG = jnp.int32(0x3FFFFFFF)
@@ -51,6 +53,27 @@ def _use_pallas() -> bool:
 # ---------------------------------------------------------------------------
 # code construction
 # ---------------------------------------------------------------------------
+
+
+def rank_sort256(key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sorted, order) of (C, 256) int32 keys, stable ascending, with NO
+    jnp.sort/argsort: a SINGLE (C, 256) sort instance costs ~13 minutes of
+    XLA:TPU compile time on this backend (measured — the hidden round-1/2
+    "bench killer" that the persistent compile cache was papering over),
+    while compare-count ranking + one-hot placement are plain
+    elementwise/reduce ops that compile in seconds. O(n^2) work per chunk
+    is 3 x (C, 256, 256) fused compare-reduces — well under a millisecond
+    of VPU time at C = 256."""
+    C, n = key.shape
+    i = jnp.arange(n, dtype=jnp.int32)
+    a = key[:, :, None]  # key_i
+    b = key[:, None, :]  # key_j
+    before = (b < a) | ((b == a) & (i[None, None, :] < i[None, :, None]))
+    rank = jnp.sum(before.astype(jnp.int32), axis=2)  # (C, n)
+    oh = rank[:, :, None] == i[None, None, :]  # [rank_i == r]
+    sorted_v = jnp.sum(jnp.where(oh, a, 0), axis=1)
+    order = jnp.sum(jnp.where(oh, i[None, :, None], 0), axis=1)
+    return sorted_v, order.astype(jnp.int32)
 
 
 def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -77,6 +100,87 @@ def histogram(data: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.sum(eq, axis=1, dtype=jnp.int32)
 
 
+def build_lengths_pm(counts: jax.Array) -> jax.Array:
+    """EXACT optimal prefix-code lengths per chunk (C, 256), length-limited
+    to MAX_LEN, via vectorized package-merge — scan-free: 30 fixed merge
+    rounds and a 31-step backward boundary walk. Compile depth is O(1) in
+    both C and the input size (the property that matters on TPU — see
+    build_lengths_exact's docstring for why a 255-step scan is not an
+    option), and for MAX_LEN = 31 >= the Fibonacci depth bound of any
+    chunk <= 3.5 M symbols the result equals the unrestricted Huffman
+    cost exactly (huffman.cpp's tree quality, the reference bar).
+
+    Package-merge (coin collector): level L holds the sorted leaves; each
+    round pairs adjacent items into packages and merges them with the
+    leaves one level up. At the top, the first 2(n-1) items are selected;
+    a leaf's code length = the number of levels at which it is selected.
+    Only the per-level boundary (how many leaves are selected) is needed:
+    selected items always form a PREFIX of each level's sorted list, so
+    the backward walk is one masked popcount per level — no per-item
+    bookkeeping, no (C, 512, 256) membership tensors.
+
+    The per-round merge of the (sorted) leaves with the (sorted) pairwise
+    packages is NOT a jnp.sort, and the 30 rounds are NOT unrolled — both
+    variants send XLA:TPU's compiler pathological (measured >14 min; the
+    same failure mode as the long scans is triggered by graph SIZE here).
+    Both inputs are already sorted, so each element's merged position is
+    its own index plus a broadcast compare-count against the other list,
+    placement is the monotone butterfly (ops/compact.butterfly_place),
+    and the 30 identical rounds ride ONE ``lax.scan`` body — the 30-step
+    pure-elementwise scan is the regime this backend compiles in seconds
+    (see build_lengths_exact's docstring for the measurements).
+
+    Tie rule (leaf before package at equal weight) only shapes the tree,
+    never the total cost. Absent symbols and list padding ride as
+    BIG-weight items that sort past every selectable prefix.
+    """
+    C = counts.shape[0]
+    n = jnp.sum(counts > 0, axis=1).astype(jnp.int32)  # present symbols
+    key = jnp.where(counts > 0, counts.astype(jnp.int32), BIG)
+    leaves, order = rank_sort256(key)  # (C, 256) ascending, absent -> BIG
+    # packed item: weight << 1 | is_package (leaf wins ties; leaf and
+    # package keys are never equal, so every cross-compare is strict)
+    leaf_items = leaves << 1
+    pos = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
+    pad = jnp.full((C, N_SYM), (BIG << 1) | 1, jnp.int32)
+    lst0 = jnp.concatenate([leaf_items, pad], axis=1)  # level MAX_LEN, sorted
+
+    def merge_round(lst, _):
+        w = lst >> 1
+        pk_items = (jnp.minimum(w[:, 0::2] + w[:, 1::2], BIG) << 1) | 1
+        # merge two sorted (C, 256) lists into (C, 512): position = own
+        # index + strict compare-count against the other list
+        pos_leaf = pos + jnp.sum(
+            (pk_items[:, :, None] < leaf_items[:, None, :]).astype(jnp.int32),
+            axis=1)
+        pos_pkg = pos + jnp.sum(
+            (leaf_items[:, :, None] < pk_items[:, None, :]).astype(jnp.int32),
+            axis=1)
+        vl, hl = butterfly_place(leaf_items, pos_leaf, 2 * N_SYM)
+        vp, _ = butterfly_place(pk_items, pos_pkg, 2 * N_SYM)
+        lst = jnp.where(hl, vl, vp)
+        return lst, lst & 1
+
+    _, isp_scan = jax.lax.scan(merge_round, lst0, None, length=MAX_LEN - 1)
+    # ispkg[lev]: lev 0 = level MAX_LEN (the leaves), .., MAX_LEN-1 = level 1
+    ispkg = jnp.concatenate([(lst0 & 1)[None], isp_scan], axis=0)
+
+    pos2 = jnp.arange(2 * N_SYM, dtype=jnp.int32)[None, :]
+    rank = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
+    lens_sorted = jnp.zeros((C, N_SYM), jnp.int32)
+    m = jnp.maximum(2 * (n - 1), 0)  # items selected at level 1
+    for lev in range(MAX_LEN - 1, -1, -1):  # level 1 up to level MAX_LEN
+        p = jnp.sum(ispkg[lev] * (pos2 < m[:, None]), axis=1)
+        nleaf = m - p  # leaves selected at this level = leaf ranks [0, nleaf)
+        lens_sorted += (rank < nleaf[:, None]).astype(jnp.int32)
+        m = 2 * p
+    # single-symbol chunk: decoder needs a 1-bit code (same convention as
+    # build_lengths_exact)
+    lens_sorted = jnp.where((n[:, None] == 1) & (rank == 0), 1, lens_sorted)
+    cvec = jnp.arange(C, dtype=jnp.int32)[:, None]
+    return jnp.zeros_like(lens_sorted).at[cvec, order].set(lens_sorted)
+
+
 def build_lengths_kraft(counts: jax.Array) -> jax.Array:
     """Near-optimal prefix-code lengths per chunk (C, 256) with NO scan —
     O(1) compile depth, pure (C, 256)-shaped vector ops.
@@ -91,18 +195,20 @@ def build_lengths_kraft(counts: jax.Array) -> jax.Array:
     1. l0_i = ceil(log2(total / c_i)) via a broadcast compare against the
        32 thresholds ceil(total / 2^l) — exact in int32, no floats.
        Kraft holds by construction (sum 2^-l0 <= sum c/total = 1).
-    2. Three promotion passes: symbols in descending-count order are
+    2. Two promotion passes: symbols in descending-count order are
        shortened by one bit while the Kraft slack lasts (prefix-sum of
-       promotion costs vs slack — one cumsum per pass). This recovers
-       almost all of the ceil() loss: measured +0.15% vs exact Huffman
-       across the reference corpus (tests/test_canonical.py pins +1%).
+       promotion costs vs slack — one cumsum per pass). The largest-coin-
+       first fill is a feasibility greedy, NOT benefit-aware: on
+       near-uniform counts it can land up to ~11% over optimal (measured
+       on 4 near-equal counts), which is why ``build_lengths_pm`` is the
+       production builder — this stays as a cheap approximate fallback.
 
     Exactness is NOT required for correctness: the v3 wire stores the
     lengths, and decode rebuilds the same canonical code either way.
     """
     C = counts.shape[0]
     c64 = counts.astype(jnp.uint32)
-    total = jnp.sum(c64, axis=1, keepdims=True)  # (C, 1) < 2^21
+    total = jnp.sum(c64, axis=1, keepdims=True)  # (C, 1) < 2^22 (3.5M-symbol chunk bound)
     present = counts > 0
     lvec = jnp.arange(32, dtype=jnp.uint32)[None, :]  # (1, 32)
     # thr[l] = ceil(total / 2^l); c >= thr[l]  <=>  c * 2^l >= total
@@ -121,7 +227,7 @@ def build_lengths_kraft(counts: jax.Array) -> jax.Array:
     # MONOTONE nondecreasing (and promotions of a per-level rank prefix
     # preserve that), so per-level ranks come from one 32-wide cumsum,
     # never a 256-wide sort per pass.
-    order = jnp.argsort(-counts, axis=1).astype(jnp.int32)  # count desc
+    _, order = rank_sort256(-counts.astype(jnp.int32))  # count desc
     cvec = jnp.arange(C, dtype=jnp.int32)[:, None]
     pos = jnp.arange(N_SYM, dtype=jnp.int32)[None, :]
     l_all = jnp.arange(32, dtype=jnp.int32)[None, :]  # (1, 32)
@@ -249,9 +355,10 @@ def build_lengths_exact(counts: jax.Array) -> jax.Array:
     return lens
 
 
-# production alias: the scan-free builder is the one whose compile time is
-# input-grid-independent on TPU; the exact merge stays as the test oracle
-build_lengths = build_lengths_kraft
+# production alias: exact package-merge — optimal cost (huffman.cpp parity)
+# with O(1) compile depth on TPU. build_lengths_exact stays as the scalar-
+# shaped test oracle; build_lengths_kraft as the cheap approximate fallback.
+build_lengths = build_lengths_pm
 
 
 def canonical_tables(lens: jax.Array):
@@ -282,7 +389,7 @@ def canonical_tables(lens: jax.Array):
         axis=1)  # (C, 33): position of first symbol of length l
 
     key = jnp.where(lens > 0, lens, MAX_LEN + 1) * N_SYM + jnp.arange(N_SYM)
-    canon_syms = jnp.argsort(key, axis=1).astype(jnp.int32)
+    _, canon_syms = rank_sort256(key)  # keys are distinct: plain ascending
     return first_code, start_index, canon_syms
 
 
@@ -351,7 +458,7 @@ def canonical_encode_batch(data: jax.Array, lengths: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("lane", "out_len"))
+@functools.partial(jax.jit, static_argnames=("lane", "out_len", "max_len"))
 def canonical_decode_batch(
     words: jax.Array,
     lens_tables: jax.Array,
@@ -359,6 +466,7 @@ def canonical_decode_batch(
     lengths: jax.Array,
     lane: int = 512,
     out_len: int = 0,
+    max_len: int = MAX_LEN,
 ):
     """Decode PADDED lane-word buffers back to (C, out_len) symbols.
 
@@ -378,7 +486,7 @@ def canonical_decode_batch(
         from huffman_codec_tpu.ops.pallas_kernels import lane_decode
 
         out = lane_decode(words.reshape(C, n_lanes, Wl), lens_tables,
-                          lengths, lane=lane)
+                          lengths, lane=lane, max_len=max_len)
         return out[:, :out_len]
     lens = lens_tables.astype(jnp.int32)
     first_code, start_index, canon_syms = canonical_tables(lens)

@@ -52,6 +52,10 @@ def pick_block(L: int) -> int:
     return _SLAB_ROWS * _LANES if L % (_SLAB_ROWS * _LANES) == 0 else 0
 
 
+# NOTE: sub-32-bit histogram formulations were tried and are NOT portable
+# to this backend: Mosaic v5e rejects i8 vectors outright, has no i8/i16
+# reductions, and "Target does not support this comparison" for i16
+# equality — the i32 one-hot below is the supported formulation.
 def _hist_kernel(len_ref, sym_ref, out_ref):
     """One grid step = one chunk, viewed as (R, 128) byte rows.
 
@@ -277,63 +281,74 @@ def lane_pack_xla(data: jax.Array, lengths: jax.Array, tables: jax.Array,
             bits.reshape(C, n_lanes).astype(jnp.int32))
 
 
-def _lane_decode_kernel(len_ref, buf_ref, bound_ref, base_ref, canon_ref,
+_DG = 8  # chunks decoded per grid step (sublane batching)
+
+
+def _lane_decode_kernel(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
                         out_ref):
-    """One grid step = one chunk: every lane decodes its own word-aligned
-    bitstream in parallel (lanes = VPU rows). Per symbol step each lane
-    holds a left-justified 64-bit window (hi, lo); the code length is the
-    first l in 1..31 with (hi >> (32-l)) < bound[l] (a 31-wide compare,
-    same rule as the XLA decoder), the symbol index is base[l] + prefix
-    value, and the canonical symbol comes from a 256-wide one-hot select —
-    no gather anywhere (XLA:TPU gathers cost ~10 ns/element; a 16.8 MB
-    decode was measured at 2.7 MB/s). Refills pull the lane's next word
-    with a one-hot select over its padded row. Output is written
-    time-major (lane position, n_lanes) — dynamic stores on the sublane
-    axis — and transposed outside."""
-    c = pl.program_id(0)
-    Wl, n_lanes = buf_ref.shape[1], buf_ref.shape[2]
+    """One grid step = _DG chunks batched on the SUBLANE axis — the round-2
+    kernel put one chunk per step, so every per-lane state op ran on a
+    (1, n_lanes) row using 1/8 of each vreg; batching 8 chunks fills the
+    sublanes and cuts vreg traffic ~8x for the state/select work.
+
+    Per symbol step each lane holds a left-justified 64-bit window
+    (hi, lo); the code length is the first l in 1..Lmax with
+    (hi >> (32-l)) < bound[l] (Lmax is the static max-code-length bucket —
+    tables rarely need the full 31), the symbol index is base[l] + prefix
+    value, and the canonical symbol comes from 8 BITPLANES of the
+    canon_syms table (select 1 of 8 u32 words per plane + a per-lane
+    variable shift) instead of a 256-row one-hot — ~6x fewer vreg ops.
+    Refills pull each lane's next word with a one-hot select over its
+    bucketed Wb-word row. Output is written time-major in aligned
+    8-sublane blocks and transposed outside."""
+    Wb, G, nl = buf_ref.shape[1], buf_ref.shape[2], buf_ref.shape[3]
     lane = out_ref.shape[1]
-    length = len_ref[c]
+    Lmax = bound_ref.shape[1]
 
-    bound = bound_ref[0]  # (31, 1) i32, broadcast over lanes
-    base = base_ref[0]
-    canon = canon_ref[0]  # (256, 1) i32
-    lvec = jax.lax.broadcasted_iota(jnp.int32, (31, 1), 0) + 1
+    words = buf_ref[0]                    # (Wb, G, nl) i32 time-major
+    bound = bound_ref[0][:, :, None]      # (Lmax, G, 1)
+    base = base_ref[0][:, :, None]
+    planes = planes_ref[0]                # (8 planes, 8 words, G)
+    ns = ns_ref[0][None]                  # (1, G, nl) symbols per lane
 
-    lrow = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
-    ns = jnp.clip(length - lrow * lane, 0, lane)  # symbols per lane
-    wrow = jax.lax.broadcasted_iota(jnp.int32, (Wl, n_lanes), 0)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (256, n_lanes), 0)
+    lvec = jax.lax.broadcasted_iota(jnp.int32, (Lmax, 1, 1), 0) + 1
+    sh = (32 - lvec).astype(jnp.uint32)
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (Wb, G, nl), 0)
+    kbit = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+    # bitplane table broadcast once per grid step (loop-invariant)
+    pb = jnp.broadcast_to(planes[:, :, :, None], (8, 8, G, nl))
 
-    words = buf_ref[0]  # (Wl, n_lanes) int32 (u32 bit patterns), time-major
-    hi = words[0:1, :].astype(jnp.uint32)  # (1, n_lanes)
-    lo = words[1:2, :].astype(jnp.uint32)
+    hi0 = words[0][None].astype(jnp.uint32)   # (1, G, nl)
+    lo0 = words[1][None].astype(jnp.uint32)
 
-    def step(k, carry):
+    def sym_step(k, carry):
         hi, lo, navail, cursor = carry
-        active = k < ns  # (1, n_lanes)
-        v = hi >> (32 - lvec).astype(jnp.uint32)  # (31, n_lanes)
-        sel = v.astype(jnp.int32) < bound
-        # sel is monotone in l (once true, stays true), so first-true is
-        # sel & ~sel[l-1] — roll down a row instead of cumsum (which has
-        # no Mosaic lowering); row 0 keeps plain sel
+        active = k < ns
+        v = (hi >> sh).astype(jnp.int32)      # (Lmax, G, nl)
+        sel = v < bound
+        # sel is monotone in l (once true, stays true): first-true is
+        # sel & ~sel[l-1] — roll down a row (no Mosaic cumsum)
         prev = pltpu.roll(sel.astype(jnp.int32), shift=1, axis=0)
-        ft = sel & ((lvec == 1) | (prev == 0))
-        fti = ft.astype(jnp.int32)
-        l = jnp.sum(fti * lvec, axis=0, keepdims=True)  # (1, n_lanes)
-        idx = jnp.sum(fti * (base + v.astype(jnp.int32)), axis=0,
-                      keepdims=True)
-        sym = jnp.sum(jnp.where(krow == idx, canon, 0), axis=0,
-                      keepdims=True)
-        out_ref[0, pl.ds(k, 1), :] = jnp.where(active, sym, 0)
-        # consume l bits (l = 0 for masked lanes)
+        ft = (sel & ((lvec == 1) | (prev == 0))).astype(jnp.int32)
+        l = jnp.sum(ft * lvec, axis=0, keepdims=True)      # (1, G, nl)
+        idx = jnp.sum(ft * (base + v), axis=0, keepdims=True)
+        # canonical symbol from bitplanes: word select (8-way) + bit shift
+        idxw = idx >> 5
+        idxb = (idx & 31).astype(jnp.uint32)
+        wsel = jnp.zeros((8, G, nl), jnp.int32)
+        for j in range(8):
+            wsel = wsel + (idxw == j).astype(jnp.int32) * pb[:, j]
+        bits = ((wsel.astype(jnp.uint32) >> idxb) & 1).astype(jnp.int32)
+        sym = jnp.sum(bits << kbit, axis=0, keepdims=True)
+        sym = jnp.where(active, sym, 0)
+        # consume l bits (l = 0 for inactive lanes)
         l = jnp.where(active, l, 0)
         lu = l.astype(jnp.uint32)
         hi = jnp.where(l > 0, (hi << lu) | (lo >> (32 - lu)), hi)
         lo = jnp.where(l > 0, lo << lu, lo)
         navail = navail - l
-        # refill: invariant navail >= 32 before each decode; after one
-        # consume navail >= 1, one conditional word pull restores it
+        # refill: invariant navail >= 32 before each decode; one
+        # conditional word pull restores it after a consume
         need = navail < 32
         nw = jnp.sum(jnp.where(wrow == cursor, words, 0), axis=0,
                      keepdims=True).astype(jnp.uint32)
@@ -342,54 +357,303 @@ def _lane_decode_kernel(len_ref, buf_ref, bound_ref, base_ref, canon_ref,
         lo = jnp.where(need, lo | (nw << (32 - na)), lo)
         cursor = jnp.where(need, cursor + 1, cursor)
         navail = jnp.where(need, navail + 32, navail)
-        return hi, lo, navail, cursor
+        return sym, (hi, lo, navail, cursor)
 
-    two = jnp.full((1, n_lanes), 2, jnp.int32)
-    na0 = jnp.full((1, n_lanes), 64, jnp.int32)
-    jax.lax.fori_loop(0, lane, step, (hi, lo, na0, two))
+    def block8(b, carry):
+        syms = []
+        for i in range(8):
+            sym, carry = sym_step(b * 8 + i, carry)
+            syms.append(sym)
+        # aligned 8-sublane store, time-major
+        out_ref[0, pl.ds(b * 8, 8)] = jnp.concatenate(syms, axis=0)
+        return carry
+
+    na0 = jnp.full((1, G, nl), 64, jnp.int32)
+    cur0 = jnp.full((1, G, nl), 2, jnp.int32)
+    jax.lax.fori_loop(0, lane // 8, block8, (hi0, lo0, na0, cur0))
 
 
-@functools.partial(jax.jit, static_argnames=("lane", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("lane", "max_len", "interpret"))
 def lane_decode(buf: jax.Array, lens_tables: jax.Array, lengths: jax.Array,
-                lane: int = 512, interpret: bool = False) -> jax.Array:
+                lane: int = 512, max_len: int = 31,
+                interpret: bool = False) -> jax.Array:
     """Canonical decode of padded lane buffers -> (C, n_lanes * lane) u8.
 
-    ``buf`` is (C, n_lanes, Wl) with lane k's word-aligned bitstream at
-    row k (the fixed-stride layout); ``lens_tables`` the (C, 256) uint8
-    code lengths; ``lengths`` the per-chunk symbol counts.
+    ``buf`` is (C, n_lanes, Wb) with lane k's word-aligned bitstream at
+    row k (any fixed stride Wb >= the fattest lane — callers pass the
+    bucketed container stride); ``lens_tables`` the (C, 256) uint8 code
+    lengths; ``lengths`` the per-chunk symbol counts; ``max_len`` a static
+    upper bound on the code lengths (host-known from the manifest — a
+    smaller bucket shrinks the per-symbol boundary compare).
     """
-    from huffman_codec_tpu.ops.canonical import MAX_LEN, canonical_tables
+    from huffman_codec_tpu.ops.canonical import canonical_tables
 
-    C, n_lanes, Wl = buf.shape
+    C, n_lanes, Wb = buf.shape
+    if lane % 8:
+        raise ValueError("lane must divide by 8")
+    Cp = -(-C // _DG) * _DG
+    if Cp != C:  # pad to the sublane batch (padded chunks decode nothing)
+        buf = jnp.pad(buf, ((0, Cp - C), (0, 0), (0, 0)))
+        lens_tables = jnp.pad(lens_tables, ((0, Cp - C), (0, 0)))
+        lengths = jnp.pad(lengths, (0, Cp - C))
     lens = lens_tables.astype(jnp.int32)
     first_code, start_index, canon_syms = canonical_tables(lens)
     bl_count = jnp.diff(start_index, axis=1)
-    bound = (first_code[:, 1: MAX_LEN + 1]
-             + bl_count[:, 1: MAX_LEN + 1])  # (C, 31)
-    base = (start_index[:, 1: MAX_LEN + 1]
-            - first_code[:, 1: MAX_LEN + 1])
+    bound = (first_code[:, 1: max_len + 1]
+             + bl_count[:, 1: max_len + 1])  # (Cp, Lmax)
+    base = (start_index[:, 1: max_len + 1]
+            - first_code[:, 1: max_len + 1])
+    # canon_syms -> 8 bitplanes of 8 u32 words: plane k word j bit t is
+    # bit k of canon_syms[32 j + t]
+    csb = (canon_syms[:, :, None] >> jnp.arange(8)[None, None, :]) & 1
+    planes = jnp.sum(
+        csb.reshape(Cp, 8, 32, 8).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, None, :, None],
+        axis=2).astype(jnp.int32)  # (Cp, 8 words, 8 planes)
+    lane_syms = jnp.clip(
+        lengths.astype(jnp.int32)[:, None]
+        - jnp.arange(n_lanes, dtype=jnp.int32)[None, :] * lane, 0, lane)
+
+    g = Cp // _DG
     out = pl.pallas_call(
         _lane_decode_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(C,),
-            in_specs=[
-                pl.BlockSpec((1, Wl, n_lanes), lambda c, lens: (c, 0, 0)),
-                pl.BlockSpec((1, 31, 1), lambda c, lens: (c, 0, 0)),
-                pl.BlockSpec((1, 31, 1), lambda c, lens: (c, 0, 0)),
-                pl.BlockSpec((1, 256, 1), lambda c, lens: (c, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, lane, n_lanes),
-                                   lambda c, lens: (c, 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((C, lane, n_lanes), jnp.int32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, Wb, _DG, n_lanes), lambda c: (c, 0, 0, 0)),
+            pl.BlockSpec((1, max_len, _DG), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, max_len, _DG), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 8, 8, _DG), lambda c: (c, 0, 0, 0)),
+            pl.BlockSpec((1, _DG, n_lanes), lambda c: (c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lane, _DG, n_lanes),
+                               lambda c: (c, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, lane, _DG, n_lanes), jnp.int32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32),
-      jnp.transpose(buf.astype(jnp.int32), (0, 2, 1)),
-      bound[:, :, None], base[:, :, None], canon_syms[:, :, None])
-    # (C, lane, n_lanes) time-major -> (C, n_lanes * lane) symbol order
-    return jnp.transpose(out, (0, 2, 1)).reshape(
-        C, n_lanes * lane).astype(jnp.uint8)
+    )(jnp.transpose(buf.astype(jnp.int32).reshape(g, _DG, n_lanes, Wb),
+                    (0, 3, 1, 2)),
+      jnp.transpose(bound.reshape(g, _DG, max_len), (0, 2, 1)),
+      jnp.transpose(base.reshape(g, _DG, max_len), (0, 2, 1)),
+      jnp.transpose(planes.reshape(g, _DG, 8, 8), (0, 3, 2, 1)),
+      lane_syms.reshape(g, _DG, n_lanes))
+    # (g, lane, G, nl) time-major -> (C, n_lanes * lane) symbol order
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(
+        Cp, n_lanes * lane)[:C].astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# fused diff + MNP-5 RLE encode
+# ---------------------------------------------------------------------------
+#
+RESET_CHUNK = 258  # mirrors ops/rle.py (transform.cpp:256-263)
+
+# The XLA formulation of the RLE encoder (ops/rle.py) is correct but
+# HBM-bound: the cummax/cumsum/butterfly stages each round-trip 2n-wide
+# int32 arrays through HBM (measured 38 ms for a 16.8 MB grid — the
+# largest encode stage). This kernel runs the whole per-chunk pipeline —
+# diff model, segment detection, the closed-form emission formula, the
+# prefix sums, and the two monotone butterfly routings — inside VMEM.
+# All flat-order shifts decompose into pltpu.roll on the lane axis plus a
+# row roll for the cross-row boundary (power-of-two distances only).
+
+
+def _flat_shift_left(x, d, R, fill):
+    """y[i] = x[i + d] over the flattened (R, 128) layout, fill past end."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if d == 0:
+        return x
+    if d < 128:
+        lr = pltpu.roll(x, shift=128 - d, axis=1)  # [r, (c + d) % 128]
+        nr = pltpu.roll(lr, shift=R - 1, axis=0)   # row r + 1
+        y = jnp.where(col < 128 - d, lr, nr)
+    else:
+        y = pltpu.roll(x, shift=R - (d >> 7), axis=0)
+    flat = row * 128 + col
+    return jnp.where(flat >= R * 128 - d, fill, y)
+
+
+def _flat_shift_right(x, d, R, fill):
+    """y[i] = x[i - d] over the flattened (R, 128) layout, fill before 0."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if d == 0:
+        return x
+    if d < 128:
+        rr = pltpu.roll(x, shift=d, axis=1)        # [r, (c - d) % 128]
+        pr = pltpu.roll(rr, shift=1, axis=0)       # row r - 1
+        y = jnp.where(col >= d, rr, pr)
+    else:
+        y = pltpu.roll(x, shift=d >> 7, axis=0)
+    flat = row * 128 + col
+    return jnp.where(flat < d, fill, y)
+
+
+def _flat_prefix(x, R, op, exclusive):
+    """Inclusive/exclusive prefix ``op`` (add or max, identity 0) over the
+    flattened (R, 128) layout: 7 lane stages + log2(R) row-carry stages."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    m = x
+    d = 1
+    while d < 128:  # within-row inclusive prefix
+        sh = pltpu.roll(m, shift=d, axis=1)
+        m = op(m, jnp.where(col >= d, sh, 0))
+        d <<= 1
+    if op is jnp.add:
+        rowv = jnp.sum(m[:, 127:128], axis=1, keepdims=True)  # row totals
+    else:
+        rowv = m[:, 127:128]
+    # exclusive prefix over rows of rowv
+    e = pltpu.roll(rowv, shift=1, axis=0)
+    e = jnp.where(row1 >= 1, e, 0)
+    d = 1
+    while d < R:
+        sh = pltpu.roll(e, shift=d, axis=0)
+        e = op(e, jnp.where(row1 >= d, sh, 0))
+        d <<= 1
+    incl = op(m, e)  # broadcast row carry over lanes
+    if not exclusive:
+        return incl
+    return incl - x if op is jnp.add else None
+
+
+def _mod258(d):
+    """Exact d % 258 for d < 2^16 via 8 conditional subtracts."""
+    q = d
+    for m in (33024, 16512, 8256, 4128, 2064, 1032, 516, 258):
+        q = jnp.where(q >= m, q - m, q)
+    return q
+
+
+def _route(v, t, kept, rank, n_kept, R, capR):
+    """Monotone routing: kept element at flat i lands at column t[i]
+    (strictly increasing over kept). Left-compact to the dense prefix
+    (LSB-first butterfly), widen to capR rows, then place right
+    (MSB-first). Returns (vals, have) over (capR, 128)."""
+    r = jnp.where(kept, _iota_flat(R) - rank, 0)
+    vv, tt = v, t
+    d = 1
+    while d < R * 128:
+        in_v = _flat_shift_left(vv, d, R, 0)
+        in_t = _flat_shift_left(tt, d, R, 0)
+        in_r = _flat_shift_left(r, d, R, 0)
+        arrive = (in_r & d) != 0
+        moved = (r & d) != 0
+        vv = jnp.where(arrive, in_v, vv)
+        tt = jnp.where(arrive, in_t, tt)
+        r = jnp.where(arrive, in_r - d, jnp.where(moved, 0, r))
+        d <<= 1
+    pad = jnp.zeros((capR - R, 128), jnp.int32)
+    vv = jnp.concatenate([vv, pad], axis=0)
+    tt = jnp.concatenate([tt, pad], axis=0)
+    flat = _iota_flat(capR)
+    live = flat < n_kept
+    s = jnp.where(live, tt - flat, 0)
+    have = live
+    vv = jnp.where(live, vv, 0)
+    d = 1 << (capR * 128 - 1).bit_length() - 1
+    while d >= 1:
+        in_v = _flat_shift_right(vv, d, capR, 0)
+        in_s = _flat_shift_right(s, d, capR, 0)
+        in_h = _flat_shift_right(have.astype(jnp.int32), d, capR, 0)
+        arrive = (in_h != 0) & ((in_s & d) != 0)
+        moved = have & ((s & d) != 0)
+        vv = jnp.where(arrive, in_v, vv)
+        s = jnp.where(arrive, in_s - d, jnp.where(moved, 0, s))
+        have = (have & ~moved) | arrive
+        d >>= 1
+    return vv, have
+
+
+def _iota_flat(R):
+    return (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+
+
+def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
+                      use_diff: bool, R: int, capR: int):
+    """One grid step = one chunk: diff (carry-seeded) -> segment starts ->
+    cummax segment origin -> q = (i - start) % 258 -> emission flags ->
+    two prefix sums -> two monotone routings (literals, count bytes)."""
+    c = pl.program_id(0)
+    length = len_ref[c]
+    carry = carry_ref[c]
+    x = x_ref[0]  # (R, 128) i32
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    fi = _iota_flat(R)
+
+    # previous byte in flat order (carry before position 0)
+    lr = pltpu.roll(x, shift=1, axis=1)
+    pr = pltpu.roll(lr, shift=1, axis=0)
+    prev = jnp.where(col >= 1, lr, pr)
+    prev = jnp.where(fi == 0, carry, prev)
+    y = ((x - prev) & 255) if use_diff else x
+    ylr = pltpu.roll(y, shift=1, axis=1)
+    ypr = pltpu.roll(ylr, shift=1, axis=0)
+    py = jnp.where(col >= 1, ylr, ypr)
+
+    valid = fi < length
+    seg_start = ((fi == 0) | (y != py) | (fi == length - 1)) & valid
+    sidx = _flat_prefix(jnp.where(seg_start, fi, 0), R, jnp.maximum, False)
+    q = _mod258(fi - sidx)
+    nxt_start = _flat_shift_left(seg_start.astype(jnp.int32), 1, R, 1)
+    seg_end = (nxt_start != 0) | (fi == length - 1)
+    emit_lit = valid & (q < 3)
+    emit_cnt = valid & ((q == RESET_CHUNK - 1) | (seg_end & (q >= 2)))
+
+    rank_lit = _flat_prefix(emit_lit.astype(jnp.int32), R, jnp.add, True)
+    rank_cnt = _flat_prefix(emit_cnt.astype(jnp.int32), R, jnp.add, True)
+    off = rank_lit + rank_cnt
+    n_lit = jnp.sum(emit_lit.astype(jnp.int32))
+    n_cnt = jnp.sum(emit_cnt.astype(jnp.int32))
+
+    lit_v, lit_h = _route(jnp.where(emit_lit, y, 0), off, emit_lit,
+                          rank_lit, n_lit, R, capR)
+    cnt_v, cnt_h = _route(jnp.where(emit_cnt, q - 2, 0),
+                          off + emit_lit.astype(jnp.int32), emit_cnt,
+                          rank_cnt, n_cnt, R, capR)
+    out_ref[0] = jnp.where(lit_h, lit_v, jnp.where(cnt_h, cnt_v & 255, 0))
+    tot = jnp.full((1, 128), 0, jnp.int32) + (n_lit + n_cnt)
+    tot_ref[0] = tot
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("use_diff", "cap", "interpret"))
+def rle_diff_encode_fused(chunks: jax.Array, lengths: jax.Array,
+                          carries: jax.Array, use_diff: bool, cap: int,
+                          interpret: bool = False):
+    """Fused per-chunk diff + MNP-5 RLE encode on TPU.
+
+    chunks (C, n) uint8 (n % 128 == 0), lengths (C,) valid byte counts,
+    carries (C,) the input byte preceding each chunk (diff seed).
+    Returns (streams (C, cap) uint8, rle_lens (C,) int32) — bit-exact with
+    ``diff then ops/rle.rle_encode`` per chunk (cap % 128 == 0).
+    """
+    C, n = chunks.shape
+    if n % 128 or cap % 128:
+        raise ValueError("chunk length and cap must divide by 128")
+    R, capR = n // 128, cap // 128
+    x = chunks.reshape(C, R, 128).astype(jnp.int32)
+    out, tot = pl.pallas_call(
+        functools.partial(_rle_fused_kernel, use_diff=use_diff, R=R,
+                          capR=capR),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=[pl.BlockSpec((1, R, 128), lambda c, l, k: (c, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((1, capR, 128), lambda c, l, k: (c, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda c, l, k: (c, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((C, capR, 128), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), carries.astype(jnp.int32), x)
+    return out.reshape(C, cap).astype(jnp.uint8), tot[:, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -406,9 +670,9 @@ def histogram256(data: jax.Array, lengths: jax.Array,
     R = L // _LANES
     # i32 tiles: the i8 sublane tile is 32, which would force 32-row slabs;
     # widening outside the kernel keeps the slab at 8 rows (~1 MB compare)
-    tiles = data.reshape(C, R, _LANES).astype(jnp.int32)
+    kern, tiles = _hist_kernel, data.reshape(C, R, _LANES).astype(jnp.int32)
     return pl.pallas_call(
-        _hist_kernel,
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # lengths ride in SMEM
             grid=(C,),

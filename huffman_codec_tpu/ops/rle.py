@@ -46,7 +46,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from huffman_codec_tpu.ops.compact import monotone_compact
+from huffman_codec_tpu.ops.compact import monotone_compact, monotone_spread
 
 RESET_CHUNK = 258  # 255 (max count byte) + 3 literals, transform.cpp:256-263
 
@@ -231,10 +231,14 @@ def rle_decode(
     total = off[-1] + expand[-1]
     src_val = jnp.where(is_cnt, jnp.roll(data, 1), data)
 
-    # output j -> owning source position (right-search skips zero-width
-    # sources: they share an offset with their successor and never win)
+    # expansion = monotone routing, not search: place each nonzero-width
+    # source's value at its output offset (strictly increasing over kept
+    # sources) and fill the run body forward. searchsorted here cost 17
+    # gather rounds per output element on TPU (the round-2 decode
+    # bottleneck); the butterfly spread + <=9 fill rounds are pure VPU.
+    kept = (expand > 0)
+    out, _ = monotone_spread(src_val, off, kept, out_len,
+                             max_gap=RESET_CHUNK)
     out_idx = jnp.arange(out_len, dtype=jnp.int32)
-    src = jnp.searchsorted(off, out_idx, side="right").astype(jnp.int32) - 1
-    out = src_val[jnp.clip(src, 0, n - 1)]
     out = jnp.where(out_idx < total, out, 0).astype(jnp.uint8)
     return out, total

@@ -19,11 +19,17 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
-# Persistent compilation cache: the codec's scan/while kernels take tens of
-# seconds to compile; cache them across test runs and subprocesses.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hctpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+# NO persistent compilation cache for the CPU test suite: XLA:CPU cache
+# entries are AOT machine code, and this rig's loader executes entries
+# whose target features don't match the host (it warns "could lead to
+# execution errors such as SIGILL") — observed as heap corruption that
+# segfaults a LATER in-process compile, reproducibly killing the full
+# suite mid-run while every file passes in isolation. Recompiling is the
+# reliable option; the TPU bench keeps its own cache (bench.py).
+for _v in ("JAX_COMPILATION_CACHE_DIR",
+           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+           "JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES"):
+    os.environ.pop(_v, None)
 
 import pytest
 
@@ -36,6 +42,23 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_per_module():
+    """XLA:CPU segfaults deterministically once a single process has
+    accumulated enough compiled executables (reproduced: any ~8-module
+    prefix of this suite followed by test_quality's compiles crashes in
+    backend_compile_and_load; every subset passes). Dropping the jit
+    caches between modules keeps the process under the threshold; the
+    xdist loadfile split in pytest.ini halves it again."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE = pathlib.Path("/root/reference")

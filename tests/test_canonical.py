@@ -71,16 +71,19 @@ def test_lengths_optimal_and_kraft(rows):
 
 
 def _to_wire(buf, lane_words):
-    """Lane buffers -> per-chunk flat word rows (the v3 wire layout)."""
+    """Lane buffers -> the decoder's PADDED fixed-stride word rows, via the
+    wire: strip each lane to its used words (what encode() writes), then
+    scatter back to the fixed ``W`` stride (what _load_words rebuilds) —
+    exercising the same strip/re-pad round trip as the container path."""
     buf = np.asarray(buf)
     lw = np.asarray(lane_words)
     C, n_lanes, W = buf.shape
-    out = np.zeros((C, n_lanes * W), np.uint32)
+    out = np.zeros((C, n_lanes, W), np.uint32)
     col = np.arange(W)
     for c in range(C):
-        w = buf[c][col[None, :] < lw[c][:, None]]
-        out[c, : w.shape[0]] = w
-    return jnp.asarray(out)
+        flat = buf[c][col[None, :] < lw[c][:, None]]  # wire: used words only
+        out[c][col[None, :] < lw[c][:, None]] = flat
+    return jnp.asarray(out.reshape(C, n_lanes * W))
 
 
 @pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
@@ -114,6 +117,49 @@ def test_lane_words_bound_bits():
     lw = np.asarray(lane_words)
     assert (lw >= 0).all() and (lw <= 512 * 31 // 32 + 1).all()
     assert int(lw.sum()) > 0
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_pallas_lane_decode_interpret_matches_xla(rows):
+    """lane_decode (interpret mode) must be bit-exact with the XLA decoder
+    across the same cases the roundtrip test covers (VERDICT r2 #6)."""
+    from huffman_codec_tpu.ops.pallas_kernels import lane_decode, lane_words_cap
+
+    mat, lens, L = _chunks(rows)
+    buf, lane_words, tables = canonical_encode_batch(mat, lens, lane=512)
+    words = _to_wire(buf, lane_words)
+    ref = np.asarray(canonical_decode_batch(words, tables, lane_words, lens,
+                                            lane=512, out_len=L))
+    C = mat.shape[0]
+    n_lanes = L // 512
+    Wl = lane_words_cap(512)
+    got = np.asarray(lane_decode(words.reshape(C, n_lanes, Wl), tables, lens,
+                                 lane=512, interpret=True))
+    for i, row in enumerate(rows):
+        assert bytes(got[i][: len(row)]) == row
+        np.testing.assert_array_equal(got[i][: len(row)],
+                                      ref[i][: len(row)])
+
+
+def test_pallas_lane_pack_decode_roundtrip_interpret():
+    """lane_pack -> lane_decode, both in interpret mode: the full Pallas
+    entropy path round-trips without touching the XLA formulations."""
+    from huffman_codec_tpu.ops.canonical import assign_codes
+    from huffman_codec_tpu.ops.pallas_kernels import lane_decode, lane_pack
+
+    data = RNG.integers(0, 48, (2, 8 * 512)).astype(np.uint8)
+    data[0, 100:1800] = 3  # long runs: skewed table + multi-word lanes
+    lens = np.array([8 * 512, 2901], np.int32)
+    counts = histogram(jnp.asarray(data), jnp.asarray(lens))
+    lt = build_lengths(counts)
+    codes = assign_codes(lt)
+    tables = codes | (lt.astype(jnp.uint32) << 26)
+    buf, bits = lane_pack(jnp.asarray(data), jnp.asarray(lens), tables, 512,
+                          interpret=True)
+    got = np.asarray(lane_decode(buf, lt.astype(jnp.uint8),
+                                 jnp.asarray(lens), lane=512, interpret=True))
+    for i in range(2):
+        np.testing.assert_array_equal(got[i][: lens[i]], data[i][: lens[i]])
 
 
 def test_pallas_lane_pack_interpret_matches_xla():

@@ -64,14 +64,20 @@ def test_elastic_redispatch_roundtrip():
     # coordinator re-dispatches the missing contiguous range on host 0
     parts[todo[0]] = codec.encode_chunk_range(raw, todo[0], todo[-1] + 1)
 
+    # assemble exactly like TPUCodec.encode does for the canonical 6-tuple
+    # (lane_buf, lane_words, tables, None, rle_lens, carries)
     cols = [np.concatenate([np.asarray(parts[k][i])
-                            for k in sorted(parts)]) for i in range(6)]
-    words, bits, tables, lane_bits, rle_lens, carries = cols
+                            for k in sorted(parts)]) for i in (0, 1, 2, 4, 5)]
+    buf, lw, tables, rle_lens, carries = cols
+    col = np.arange(buf.shape[2])
     payload = b"".join(
-        words[c].astype(">u4").tobytes()[: (int(bits[c]) + 7) // 8]
+        buf[c].astype(">u4")[col[None, :] < lw[c][:, None]].tobytes()
         for c in range(n_chunks))
-    blob = codec._container(payload, len(raw), int(rle_lens.sum()),
-                            bits[:n_chunks].tolist(), None, tables, lane_bits,
-                            (rle_lens, carries), zlib.crc32(raw))
+    chunk_bits = (lw[:n_chunks].sum(axis=1, dtype=np.int64) * 32).tolist()
+    blob = codec._container(payload, len(raw), int(rle_lens[:n_chunks].sum()),
+                            chunk_bits, None, tables[:n_chunks],
+                            lw[:n_chunks],
+                            (rle_lens[:n_chunks], carries[:n_chunks]),
+                            zlib.crc32(raw))
     assert blob == codec.encode(raw), "recovered container != healthy one"
     assert codec.decode(blob) == raw
