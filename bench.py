@@ -123,6 +123,37 @@ def _stage_breakdown(step_dev, S: int, cs: int, lane: int) -> dict:
     return {k: round(v * 1e3, 3) for k, v in out.items()}
 
 
+def _adaptive_probe() -> dict:
+    """One adaptive-mode TPU number (the reference's headline feature,
+    transform.cpp:294-328): hd01.raw through the full `-a -m` path —
+    auto block-size search + tiled encode + best-of-two container —
+    warm-timed encode/decode + size vs the reference's 87901 B."""
+    import time as _t
+
+    from huffman_codec_tpu.models import CodecConfig, TPUCodec
+
+    raw = (DATA / "hd01.raw").read_bytes()
+    # whole_file=False: the chunked profile keeps lane <= 2048 so both
+    # entropy directions ride the Pallas kernels on TPU (the whole-file
+    # archival profile's big lanes take the XLA path — fine on CPU, slow
+    # scan on this backend); sizes still beat the reference
+    codec = TPUCodec(CodecConfig(use_diff=True, use_adapt=True, width=512,
+                                 chunk_size=1 << 16, whole_file=False,
+                                 lane=2048))
+    blob = codec.encode(raw)  # compiles: 8 bs candidates + 2 containers
+    t0 = _t.perf_counter()
+    blob = codec.encode(raw)
+    enc_s = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    out = codec.decode(blob)
+    dec_s = _t.perf_counter() - t0
+    assert out == raw, "adaptive roundtrip failed"
+    return {"file": "hd01.raw", "encode_s": round(enc_s, 3),
+            "encode_mbps": round(len(raw) / enc_s / 1e6, 2),
+            "decode_s": round(dec_s, 3), "bytes": len(blob),
+            "bpc": round(8 * len(blob) / len(raw), 3), "ref_bytes": 87901}
+
+
 def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
     """Decode-side stage times: host parse, vectorized word loader, H2D
     transfer, the entropy kernel, and the RLE+diff tail (device ms)."""
@@ -331,6 +362,14 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — keep the encode number
         detail["container_error"] = f"{type(e).__name__}: {e}"
         note(f"container/decode phase failed: {e!r}")
+
+    if not args.skip_stages:
+        try:
+            detail["adaptive"] = _adaptive_probe()
+            note(f"adaptive (-a -m) probe: {detail['adaptive']}")
+        except Exception as e:  # noqa: BLE001 — best-effort
+            detail["adaptive"] = f"failed: {type(e).__name__}"
+            note(f"adaptive probe failed: {e!r}")
 
     print(json.dumps(result))
     return 0

@@ -54,7 +54,6 @@ from huffman_codec_tpu.formats import FLAG_ADAPT, FLAG_DIFF
 FLAG_SHARDED = 0x20  # v3-only: transforms applied per input chunk
 FLAG_AGROUP = 0x10  # v3-only: grouped adaptive tile manifest
 from huffman_codec_tpu.ops.adapt import (
-    ADAPT_HEADER_BYTES,
     GROUP_K,
     adapt_decode_tiled,
     adapt_encode_fixed,
@@ -91,6 +90,10 @@ class CodecConfig:
     entropy: str = "canonical"  # "canonical" | "fgk"
     lane: int = 512  # canonical decode parallel granularity
     layout: str = "global"  # "global" | "sharded" (per-chunk transforms)
+    # global layout only: best-of-two — try a whole-file candidate (one
+    # chunk, one table, lane 32768) against the chunked one and keep the
+    # smaller container; the whole-file economics of the reference codec
+    whole_file: bool = True
     # streaming grid: process the input step_chunks chunks at a time through
     # ONE fixed-shape compilation (sharded layout only). Compile cost becomes
     # input-size-independent — the TPU serving pattern — and the host loop
@@ -112,16 +115,25 @@ def _np_words_to_bytes(words: np.ndarray, n_bytes: int) -> bytes:
     return words.astype(">u4").tobytes()[:n_bytes]
 
 
-def _pack5(vals: np.ndarray) -> bytes:
-    """(C, 256) code lengths (<32) -> 5-bit packed, 160 bytes per chunk."""
-    bits = (vals[..., None] >> np.arange(4, -1, -1)) & 1
-    return np.packbits(bits.reshape(vals.shape[0], -1), axis=1).tobytes()
+def _packk(vals: np.ndarray, width: int) -> bytes:
+    """Flat int array -> MSB-first ``width``-bit packed bytes."""
+    v = np.asarray(vals).reshape(-1).astype(np.int64)
+    bits = (v[:, None] >> np.arange(width - 1, -1, -1)) & 1
+    return np.packbits(bits.reshape(-1).astype(np.uint8)).tobytes()
 
 
-def _unpack5(raw: bytes, C: int) -> np.ndarray:
-    b = np.frombuffer(raw, np.uint8).reshape(C, 160)
-    bits = np.unpackbits(b, axis=1).reshape(C, 256, 5)
-    return (bits << np.arange(4, -1, -1)).sum(axis=2).astype(np.uint8)
+def _unpackk(raw: bytes, count: int, width: int) -> np.ndarray:
+    nbytes = (count * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(raw, np.uint8, nbytes))
+    bits = bits[: count * width].reshape(count, width).astype(np.int64)
+    return (bits << np.arange(width - 1, -1, -1)).sum(axis=1)
+
+
+def _lw_width(lane: int) -> int:
+    """lane_words manifest bit width, implied by the lane size."""
+    from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
+
+    return int(lane_words_cap(lane)).bit_length()
 
 
 def _n_words_for(length: int, entropy: str, lane: int = 512) -> int:
@@ -185,13 +197,10 @@ def _encode_adapt_stage(data, use_diff: bool, width: int, height: int,
     The v3 transformed stream is the concatenated tile data only — the
     manifest replaces the in-band v1 adaptive header."""
     x = diff_apply(data) if use_diff else data
-    payload, total, dirs, tile_lens = adapt_encode_fixed(
-        x, width, height, bs, out_len=max_chunks * chunk_size
+    stream, tile_total, dirs, tile_lens = adapt_encode_fixed(
+        x, width, height, bs, out_len=max_chunks * chunk_size,
+        with_header=False,
     )
-    nt = dirs.shape[0]
-    header_len = ADAPT_HEADER_BYTES + (nt + 7) // 8
-    tile_total = total - header_len
-    stream = jnp.roll(payload, -header_len)  # strip the v1-style header
     chunks, lens = _chunkify(stream, tile_total, chunk_size, max_chunks)
     enc = _entropy_encode(chunks, lens, entropy, lane)
     return (*enc, tile_total, dirs, tile_lens)
@@ -330,9 +339,9 @@ class TPUCodec:
         if self.config.entropy == "canonical":
             if self.config.chunk_size % self.config.lane:
                 raise ValueError("chunk_size must divide by lane")
-            if self.config.lane > 2048:
-                raise ValueError("lane > 2048 overflows the u16 lane-bits "
-                                 "manifest")
+            if self.config.lane > 1 << 15:
+                raise ValueError("lane > 32768 overflows the packed "
+                                 "lane-words manifest width")
         if self.config.layout not in ("global", "sharded"):
             raise ValueError(f"unknown layout {self.config.layout}")
         if self.config.layout == "sharded" and self.config.use_adapt:
@@ -406,34 +415,83 @@ class TPUCodec:
             sharded_meta = (rle_lens, carries)
             adapt_meta = None
         else:
-            x = jnp.asarray(np.frombuffer(data, np.uint8))
-            cap = rle_max_encoded_len(n) + 64
-            max_chunks = _cdiv(cap, cs)
+            # global layout: best-of-two container shapes. The whole-file
+            # candidate (one chunk, one table, lane 32768) wins when the
+            # per-chunk manifest dominates; the chunked candidate (per-
+            # 64 KiB tables, lane 2048) wins when the input's statistics
+            # drift and table adaptivity pays. Both are the same wire —
+            # just different (chunk_size, lane) in the header — so the
+            # encoder simply keeps the smaller. This is what beats the
+            # reference's whole-file FGK sizes (BASELINE.md §B).
+            bs = None
             if cfg.use_adapt:
                 w, h = cfg.width, n // cfg.width
                 # the search must see the POST-diff matrix — the reference
                 # applies the diff model before the block-size search
                 # (main.cpp:63 -> transform.cpp:294) — and v3 prices the
                 # entropy stage + tile manifest, not the raw RLE size
-                sx = diff_apply(x) if cfg.use_diff else x
-                bs = adapt_search_best_v3(sx, w, h, cap)
-                payload_a, meta_a, tables, _, total, dirs, tile_lens = (
-                    _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
-                                        max_chunks, cfg.entropy, cfg.lane))
-                tile_lens = np.asarray(tile_lens)
-                if cfg.entropy == "canonical":
-                    est_payload = 4 * int(np.asarray(meta_a).sum())
-                else:
-                    est_payload = int(np.asarray(meta_a).sum()) // 8
-                grouped = grouped_manifest(len(tile_lens), bs, est_payload)
-                adapt_meta = (w, h, bs, np.asarray(dirs), tile_lens, grouped)
+                x0 = jnp.asarray(np.frombuffer(data, np.uint8))
+                sx = diff_apply(x0) if cfg.use_diff else x0
+                bs = adapt_search_best_v3(sx, w, h,
+                                          rle_max_encoded_len(n) + 64)
+            if (cfg.whole_file and cfg.entropy == "canonical"
+                    and rle_max_encoded_len(n) + 64 <= 3_500_000):
+                return min(
+                    (self._encode_global(data, bs, whole=True),
+                     self._encode_global(data, bs, whole=False)),
+                    key=len)
+            return self._encode_global(data, bs, whole=False)
+        return self._finish_container(cfg.entropy, payload_a, meta_a,
+                                      tables, n_chunks, n, total,
+                                      adapt_meta, sharded_meta, data,
+                                      cfg.chunk_size, cfg.lane)
+
+    def _encode_global(self, data: bytes, bs, whole: bool) -> bytes:
+        """One global-layout candidate: ``whole`` = single chunk at lane
+        16384 (one table, minimal manifest); else per-chunk tables at the
+        archival lane (2048) or the user's configured lane."""
+        cfg = self.config
+        n = len(data)
+        x = jnp.asarray(np.frombuffer(data, np.uint8))
+        cap = rle_max_encoded_len(n) + 64
+        if whole:
+            # one chunk, ~8 lanes: smallest power-of-two lane >= cap/8,
+            # clamped to the packed-manifest ceiling
+            lane = min(1 << 15, max(64, 1 << ((cap + 7) // 8 - 1)
+                                    .bit_length()))
+            cs = -(-cap // (8 * lane)) * (8 * lane)
+            cap = cs
+        else:
+            lane = (2048 if cfg.whole_file and cfg.entropy == "canonical"
+                    and cfg.chunk_size % 2048 == 0 else cfg.lane)
+            cs = cfg.chunk_size
+        max_chunks = _cdiv(cap, cs)
+        if cfg.use_adapt:
+            w, h = cfg.width, n // cfg.width
+            payload_a, meta_a, tables, _, total, dirs, tile_lens = (
+                _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
+                                    max_chunks, cfg.entropy, lane))
+            tile_lens = np.asarray(tile_lens)
+            if cfg.entropy == "canonical":
+                est_payload = 4 * int(np.asarray(meta_a).sum())
             else:
-                payload_a, meta_a, tables, _, total = _encode_stream_stage(
-                    x, cfg.use_diff, cs, max_chunks, cfg.entropy, cfg.lane)
-                adapt_meta = None
-            total = int(total)
-            n_chunks = _cdiv(total, cs)
-        if cfg.entropy == "canonical":
+                est_payload = int(np.asarray(meta_a).sum()) // 8
+            grouped = grouped_manifest(len(tile_lens), bs, est_payload)
+            adapt_meta = (w, h, bs, np.asarray(dirs), tile_lens, grouped)
+        else:
+            payload_a, meta_a, tables, _, total = _encode_stream_stage(
+                x, cfg.use_diff, cs, max_chunks, cfg.entropy, lane)
+            adapt_meta = None
+        total = int(total)
+        n_chunks = _cdiv(total, cs)
+        return self._finish_container(cfg.entropy, payload_a, meta_a,
+                                      tables, n_chunks, n, total,
+                                      adapt_meta, None, data, cs, lane)
+
+    def _finish_container(self, entropy, payload_a, meta_a, tables,
+                          n_chunks, orig, total, adapt_meta, sharded_meta,
+                          data, chunk_size, lane) -> bytes:
+        if entropy == "canonical":
             # payload_a: (nc, n_lanes, W) word-aligned lane buffers;
             # meta_a: (nc, n_lanes) used words per lane. One boolean mask
             # strips the inter-lane padding (host memcpy speed).
@@ -457,25 +515,35 @@ class TPUCodec:
             lanes_np = None
         tables_np = (np.asarray(tables)[:n_chunks]
                      if tables is not None else None)
-        return self._container(b"".join(streams), n, total, chunk_bits,
+        return self._container(b"".join(streams), orig, total, chunk_bits,
                                adapt_meta, tables_np, lanes_np,
-                               sharded_meta, zlib.crc32(data))
+                               sharded_meta, zlib.crc32(data),
+                               chunk_size=chunk_size, lane=lane)
 
     def _container(self, payload, orig, total, chunk_bits, adapt_meta,
-                   tables, lane_words, sharded_meta, crc=0) -> bytes:
+                   tables, lane_words, sharded_meta, crc=0,
+                   chunk_size=None, lane=None) -> bytes:
         cfg = self.config
+        chunk_size = cfg.chunk_size if chunk_size is None else chunk_size
+        lane = cfg.lane if lane is None else lane
         flags = cfg.flags()
         grouped = (cfg.use_adapt and adapt_meta is not None
                    and adapt_meta[5])
         if grouped:
             flags |= FLAG_AGROUP
+        canonical = cfg.entropy == "canonical" and tables is not None
         out = bytearray()
         out += V3_MAGIC
-        out.append(1)
+        out.append(2)  # container version (2: packed canonical manifests)
         out.append(flags)
         out.append(_ENTROPY[cfg.entropy])
-        out += struct.pack("<QQIIII", orig, total, cfg.chunk_size,
-                           len(chunk_bits), cfg.lane, crc)
+        # canonical code-length table bit width (0 for fgk)
+        tw = 0
+        if canonical and len(chunk_bits):
+            tw = 4 if int(np.max(tables)) <= 15 else 5
+        out.append(tw)
+        out += struct.pack("<QQIIII", orig, total, chunk_size,
+                           len(chunk_bits), lane, crc)
         if cfg.use_adapt and adapt_meta is not None:
             w, h, bs, dirs, tile_lens, grouped = adapt_meta
             nt = len(tile_lens)
@@ -492,16 +560,38 @@ class TPUCodec:
                 # tile-length width is implied by bs (tile_len_width)
                 out += np.asarray(tile_lens,
                                   f"<u{tile_len_width(bs)}").tobytes()
-        out += np.asarray(chunk_bits, "<u4").tobytes()
+        if not canonical:
+            out += np.asarray(chunk_bits, "<u4").tobytes()
         if sharded_meta is not None:
             rle_lens, carries = sharded_meta
             out += np.asarray(rle_lens, "<u4").tobytes()
             out += np.asarray(carries, np.uint8).tobytes()
-        if cfg.entropy == "canonical" and tables is not None:
-            out += _pack5(np.asarray(tables))
-            out += np.asarray(lane_words, "<u2").tobytes()
+        if canonical and len(chunk_bits):
+            # v2 canonical manifest economies (the difference between
+            # trailing and beating the reference's sizes): tables at
+            # 4 or 5 bits/len; lane_words k-bit packed with only the USED
+            # lanes stored (the used count per chunk is derivable from the
+            # transformed size); chunk_bits omitted entirely — always
+            # 32 * sum(lane_words) for word-aligned lanes.
+            out += _packk(np.asarray(tables), tw)
+            lw = np.asarray(lane_words)
+            counts = self._chunk_counts(sharded_meta, total, chunk_size,
+                                        len(chunk_bits))
+            used = -(-counts // lane)
+            mask = np.arange(lw.shape[1])[None, :] < used[:, None]
+            out += _packk(lw[mask], _lw_width(lane))
         out += payload
         return bytes(out)
+
+    @staticmethod
+    def _chunk_counts(sharded_meta, total, chunk_size, n_chunks):
+        """Per-chunk symbol counts — the manifest-free invariant both the
+        writer and the parser derive identically."""
+        if sharded_meta is not None:
+            return np.asarray(sharded_meta[0], np.int64)
+        return np.clip(
+            int(total) - np.arange(n_chunks, dtype=np.int64) * chunk_size,
+            0, chunk_size)
 
     # -- decode -------------------------------------------------------------
 
@@ -700,16 +790,18 @@ class TPUCodec:
 
     @staticmethod
     def _parse(blob: bytes) -> dict:
-        if len(blob) < 41 or blob[:6] != V3_MAGIC or blob[6] != 1:
+        if len(blob) < 42 or blob[:6] != V3_MAGIC or blob[6] != 2:
             raise ValueError("invalid v3 container")
         flags = blob[7]
         entropy = blob[8]
+        tblw = blob[9]  # canonical table bit width (4 or 5; 0 for fgk)
         orig, total, chunk_size, n_chunks, lane, crc = struct.unpack_from(
-            "<QQIIII", blob, 9)
-        pos = 41
+            "<QQIIII", blob, 10)
+        pos = 42
         hdr = dict(flags=flags, entropy=entropy, orig=orig, total=total,
                    chunk_size=chunk_size, n_chunks=n_chunks, lane=lane,
                    crc=crc)
+        chunk_bits: list = []
         if flags & FLAG_ADAPT and orig:
             w, h, bs, nt = struct.unpack_from("<QQQI", blob, pos)
             pos += 28
@@ -728,8 +820,9 @@ class TPUCodec:
                 tile_lens = np.frombuffer(blob, f"<u{tw}", nt, pos).copy()
                 pos += tw * nt
                 hdr["tile_lens"] = tile_lens
-        chunk_bits = np.frombuffer(blob, "<u4", n_chunks, pos).tolist()
-        pos += 4 * n_chunks
+        if entropy != ENTROPY_CANONICAL:
+            chunk_bits = np.frombuffer(blob, "<u4", n_chunks, pos).tolist()
+            pos += 4 * n_chunks
         if flags & FLAG_SHARDED and n_chunks:
             rle_lens = np.frombuffer(blob, "<u4", n_chunks, pos).copy()
             pos += 4 * n_chunks
@@ -740,13 +833,21 @@ class TPUCodec:
             ename = "canonical"
             L = (_sharded_cap(chunk_size, ename, lane)
                  if flags & FLAG_SHARDED else chunk_size)
-            tables = _unpack5(blob[pos : pos + 160 * n_chunks], n_chunks)
-            pos += 160 * n_chunks
+            tables = _unpackk(blob[pos:], n_chunks * 256, tblw).reshape(
+                n_chunks, 256).astype(np.uint8)
+            pos += (n_chunks * 256 * tblw + 7) // 8
             lpc = L // lane
-            lane_words = np.frombuffer(
-                blob, "<u2", lpc * n_chunks, pos).reshape(n_chunks, lpc)
-            pos += 2 * lpc * n_chunks
-            lw = lane_words.astype(np.int32)
+            counts = TPUCodec._chunk_counts(
+                (hdr["rle_lens"], None) if flags & FLAG_SHARDED else None,
+                total, chunk_size, n_chunks)
+            used = -(-counts // lane)
+            kw = _lw_width(lane)
+            n_entries = int(used.sum())
+            entries = _unpackk(blob[pos:], n_entries, kw)
+            pos += (n_entries * kw + 7) // 8
+            lw = np.zeros((n_chunks, lpc), np.int32)
+            lw[np.arange(lpc)[None, :] < used[:, None]] = entries
+            chunk_bits = (32 * lw.sum(axis=1, dtype=np.int64)).tolist()
             mx = int(lw.max()) if lw.size else 1
             # decoder stride: power-of-two bucket over the fattest lane
             # (floor 8 keeps the Mosaic sublane tile; cap = worst case)

@@ -244,7 +244,7 @@ def adapt_search_best_v3(matrix: jax.Array, width: int, height: int,
     best_score, best_bs = None, None
     for bs in candidate_sizes(width, height):
         stream, total, dirs, _ = adapt_encode_fixed(
-            matrix, width, height, bs, out_len=out_len)
+            matrix, width, height, bs, out_len=out_len, with_header=False)
         nt = int(dirs.shape[0])
         est = int(_canonical_bits_estimate(stream, total)) // 8
         per_tile = nt * tile_len_width(bs)
@@ -260,15 +260,21 @@ def _be64(v: int) -> np.ndarray:
     return np.frombuffer(int(v).to_bytes(8, "big"), np.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "bs", "out_len"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "bs", "out_len",
+                              "with_header"))
 def adapt_encode_fixed(
-    matrix: jax.Array, width: int, height: int, bs: int, out_len: int | None = None
+    matrix: jax.Array, width: int, height: int, bs: int,
+    out_len: int | None = None, with_header: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Materialize the v1-exact adaptive payload for one block size.
+    """Materialize the adaptive payload for one block size.
 
     Returns (stream uint8[out_len], total_len, dirs bool[n_tiles],
-    tile_lens int32[n_tiles]). Bit-exact with the 4-arg applyAdaptRLE
-    (transform.cpp:97-134) ++ createAdaptRLEHeader (headers.cpp:18-63).
+    tile_lens int32[n_tiles]). With ``with_header`` (the default) the
+    stream is bit-exact with the 4-arg applyAdaptRLE (transform.cpp:
+    97-134) ++ createAdaptRLEHeader (headers.cpp:18-63); v3 callers pass
+    False — the manifest replaces the in-band header, and the tile data
+    starts at offset 0 (no O(n) strip afterwards).
     """
     flat = matrix.reshape(-1)
     hor, ver, lens = _gather_tiles(flat, width, height, bs)
@@ -282,23 +288,24 @@ def adapt_encode_fixed(
     tile_n = jnp.minimum(hor_n, ver_n)
 
     n_dir_bytes = (nt + 7) // 8
-    header_len = ADAPT_HEADER_BYTES + n_dir_bytes
+    header_len = (ADAPT_HEADER_BYTES + n_dir_bytes) if with_header else 0
     if out_len is None:
         out_len = header_len + nt * cap
     total = header_len + jnp.sum(tile_n)
 
     out = jnp.zeros((out_len,), jnp.uint8)
-    out = out.at[:8].set(jnp.asarray(_be64(width)))
-    out = out.at[8:16].set(jnp.asarray(_be64(height)))
-    out = out.at[16:24].set(jnp.asarray(_be64(bs)))
-    # scanDir bits MSB-first, 1 = horizontal, 0-padded (headers.cpp:41-60)
-    dpad = jnp.zeros((n_dir_bytes * 8,), jnp.uint8).at[:nt].set(
-        dirs.astype(jnp.uint8))
-    dir_bytes = jnp.sum(
-        dpad.reshape(n_dir_bytes, 8)
-        * (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8))),
-        axis=1, dtype=jnp.uint8)
-    out = out.at[ADAPT_HEADER_BYTES:header_len].set(dir_bytes)
+    if with_header:
+        out = out.at[:8].set(jnp.asarray(_be64(width)))
+        out = out.at[8:16].set(jnp.asarray(_be64(height)))
+        out = out.at[16:24].set(jnp.asarray(_be64(bs)))
+        # scanDir bits MSB-first, 1 = horizontal, 0-pad (headers.cpp:41-60)
+        dpad = jnp.zeros((n_dir_bytes * 8,), jnp.uint8).at[:nt].set(
+            dirs.astype(jnp.uint8))
+        dir_bytes = jnp.sum(
+            dpad.reshape(n_dir_bytes, 8)
+            * (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8))),
+            axis=1, dtype=jnp.uint8)
+        out = out.at[ADAPT_HEADER_BYTES:header_len].set(dir_bytes)
 
     off = jnp.cumsum(tile_n) - tile_n + header_len
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]

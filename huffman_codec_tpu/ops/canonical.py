@@ -443,8 +443,12 @@ def canonical_encode_batch(data: jax.Array, lengths: jax.Array,
     from huffman_codec_tpu.ops.pallas_kernels import (
         _LB, lane_pack, lane_pack_xla)
 
+    # lane <= 4096: the kernel's per-lane VMEM footprint scales with the
+    # lane size (measured: lane 32768 requests ~24 MB of scoped VMEM);
+    # bigger lanes (the whole-file archival profile) take the XLA path
     use_pl = (jax.default_backend() != "cpu" and _use_pallas()
-              and lane % 128 == 0 and (L // lane) % _LB == 0)
+              and lane % 128 == 0 and (L // lane) % _LB == 0
+              and lane <= 4096)
     if use_pl:
         buf, bits = lane_pack(data, lengths, tables, lane)
     else:
@@ -482,7 +486,8 @@ def canonical_decode_batch(
     Wl = W // n_lanes
     if out_len <= 0:
         raise ValueError("canonical_decode_batch needs static out_len")
-    if jax.default_backend() != "cpu" and _use_pallas():
+    if (jax.default_backend() != "cpu" and _use_pallas()
+            and lane <= 4096):  # same VMEM-scaling bound as the encoder
         from huffman_codec_tpu.ops.pallas_kernels import lane_decode
 
         out = lane_decode(words.reshape(C, n_lanes, Wl), lens_tables,

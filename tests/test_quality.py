@@ -1,12 +1,14 @@
 """Compression-quality guard: v3 canonical vs the reference's measured
 compressed sizes (BASELINE.md §B), ALL 12 corpus files x ALL 4 pipeline
-configs. The per-chunk optimal tables should make up for the manifest
-overhead on real payloads; tiny payloads (the df1* gradients) are dominated
-by the fixed manifest, so the bound is two-tier:
+configs — the north-star bound, STRICT ours <= ref wherever the payload
+is big enough for coding to dominate:
 
-- ref > 20 KB: strict  ours <= 1.05 * ref
-- ref <= 20 KB: ours <= ref + 3 KB (manifest floor: 41 B header + ~420 B
-  per chunk of tables/lane-bits + adaptive tile metadata)
+- ref > 20 KB: ours <= ref  (one pinned exception: df1hvx -m, where FGK's
+  per-symbol adaptation tracks the file's gradient transitions ~9 B
+  better than any static-table split — pinned at +16 B)
+- ref <= 20 KB: ours <= ref + 640 (container floor: 42 B header + one
+  packed table + crc; the df1* gradients compress to a few hundred
+  bytes where the reference's 9 B header is unbeatable)
 """
 
 import pathlib
@@ -54,9 +56,10 @@ def test_v3_size_vs_reference(name, col, use_diff, use_adapt):
     blob = codec.encode(raw)
     ref = REF[name][col]
     if ref > 20000:
-        assert len(blob) <= ref * 1.05, (name, col, len(blob), ref)
+        slack = 16 if (name, col) == ("df1hvx.raw", 1) else 0
+        assert len(blob) <= ref + slack, (name, col, len(blob), ref)
     else:
-        assert len(blob) <= ref + 3072, (name, col, len(blob), ref)
+        assert len(blob) <= ref + 640, (name, col, len(blob), ref)
     assert codec.decode(blob) == raw
 
 
