@@ -447,9 +447,9 @@ class TPUCodec:
                                       cfg.chunk_size, cfg.lane)
 
     def _encode_global(self, data: bytes, bs, whole: bool) -> bytes:
-        """One global-layout candidate: ``whole`` = single chunk at lane
-        16384 (one table, minimal manifest); else per-chunk tables at the
-        archival lane (2048) or the user's configured lane."""
+        """One global-layout candidate: ``whole`` = single chunk at a lane
+        clamped to 32768 (one table, minimal manifest); else per-chunk
+        tables at the archival lane (2048) or the user's configured lane."""
         cfg = self.config
         n = len(data)
         x = jnp.asarray(np.frombuffer(data, np.uint8))
@@ -579,6 +579,10 @@ class TPUCodec:
                                         len(chunk_bits))
             used = -(-counts // lane)
             mask = np.arange(lw.shape[1])[None, :] < used[:, None]
+            # any nonzero word count beyond the derived used-lane prefix
+            # would be silently dropped -> corrupt container; fail loudly
+            assert (lw[~mask] == 0).all(), \
+                "lane_words nonzero outside the used-lane mask"
             out += _packk(lw[mask], _lw_width(lane))
         out += payload
         return bytes(out)

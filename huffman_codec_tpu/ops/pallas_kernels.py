@@ -518,11 +518,18 @@ def _flat_prefix(x, R, op, exclusive):
     return incl - x if op is jnp.add else None
 
 
-def _mod258(d):
-    """Exact d % 258 for d < 2^16 via 8 conditional subtracts."""
+def _mod258(d, bound: int):
+    """Exact d % 258 for 0 <= d < ``bound`` (static) via conditional
+    subtracts of 258 * 2^k. The chain starts at the largest subtrahend
+    m < bound (so d < 2m and one subtract leaves the remainder < m) and
+    halves down to 258 — log2(bound/258) selects, any chunk size."""
     q = d
-    for m in (33024, 16512, 8256, 4128, 2064, 1032, 516, 258):
+    m = RESET_CHUNK
+    while m * 2 < bound:
+        m *= 2
+    while m >= RESET_CHUNK:
         q = jnp.where(q >= m, q - m, q)
+        m //= 2
     return q
 
 
@@ -596,7 +603,7 @@ def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
     valid = fi < length
     seg_start = ((fi == 0) | (y != py) | (fi == length - 1)) & valid
     sidx = _flat_prefix(jnp.where(seg_start, fi, 0), R, jnp.maximum, False)
-    q = _mod258(fi - sidx)
+    q = _mod258(fi - sidx, R * 128)
     nxt_start = _flat_shift_left(seg_start.astype(jnp.int32), 1, R, 1)
     seg_end = (nxt_start != 0) | (fi == length - 1)
     emit_lit = valid & (q < 3)

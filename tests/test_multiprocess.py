@@ -41,10 +41,16 @@ rng = np.random.default_rng(7)
 raw = rng.integers(0, 8, n, dtype=np.uint8)
 data = jnp.asarray(raw)
 n_words = _n_words_for(sharded_cap(chunk_size, "canonical", lane), "canonical")
-words, bits, tables, lane_bits, rle_lens, carries = distributed_encode_step(
+buf, lane_words, tables, rle_lens, carries = distributed_encode_step(
     data, jnp.int32(n), mesh, chunk_size, n_words, use_diff=True,
     entropy="canonical", lane=lane)
-print("OK", int(jnp.sum(bits)), flush=True)
+# cross-process agreement on the full gathered manifest, not just a sum:
+# checksum every column (the container writer consumes exactly these)
+import zlib
+csum = 0
+for a in (buf, lane_words, tables, rle_lens, carries):
+    csum = zlib.crc32(np.asarray(a).tobytes(), csum)
+print("OK", csum, flush=True)
 """
 
 
@@ -72,7 +78,17 @@ def test_two_process_mesh(tmp_path):
         pytest.skip("multi-process CPU collectives timed out on this build")
     for (out, err), p in zip(outs, procs):
         if p.returncode != 0:
-            if "distributed" in err or "initialize" in err or "Unimplemented" in err:
+            # skip ONLY on genuine environment failures (no multi-process
+            # support / coordination service unreachable) — a crash inside
+            # the codec must FAIL, not skip (the round-3 over-broad match
+            # on "distributed" converted a real unpack bug into a skip)
+            env_markers = (
+                "UNIMPLEMENTED", "Unimplemented", "UNAVAILABLE",
+                "DEADLINE_EXCEEDED",
+                "coordination service",
+                "distributed service is not supported",
+            )
+            if any(m in err for m in env_markers):
                 pytest.skip(f"jax.distributed unsupported here: {err[-200:]}")
             raise AssertionError(err[-2000:])
         assert "OK" in out

@@ -29,3 +29,102 @@ def test_histogram256_skewed():
     got = np.asarray(histogram256(data, lens, interpret=True))
     assert got[0, 0] == 2048 and got[1, 0] == 100
     assert got[:, 1:].sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# fused diff + RLE encode kernel (the production TPU encode path,
+# models/chunked.py:_encode_sharded_stage) vs the XLA formulation
+# ---------------------------------------------------------------------------
+
+from huffman_codec_tpu.ops.diff import diff_apply  # noqa: E402
+from huffman_codec_tpu.ops.pallas_kernels import (  # noqa: E402
+    rle_diff_encode_fused,
+)
+from huffman_codec_tpu.ops.rle import (  # noqa: E402
+    rle_encode,
+    rle_max_encoded_len,
+)
+
+import sys as _sys
+import pathlib as _pl
+
+_sys.path.insert(0, str(_pl.Path(__file__).parent))
+from test_jax_ops import EDGE_CASES  # noqa: E402
+
+
+def _xla_ref(chunks, lens, carries, use_diff, cap):
+    """Per-chunk diff (carry-seeded) + rle_encode — the XLA branch the
+    fused kernel claims bit-exactness with (chunked.py:257-263)."""
+    if use_diff:
+        prev = jnp.concatenate([carries[:, None], chunks[:, :-1]], axis=1)
+        work = (chunks - prev).astype(jnp.uint8)
+    else:
+        work = chunks
+    enc = jax.vmap(lambda x, l: rle_encode(x, l, out_len=cap))
+    return enc(work, lens)
+
+
+def _run_fused_case(rows, n, use_diff):
+    """rows: list of (bytes, carry) padded into an (C, n) chunk batch."""
+    C = len(rows)
+    cap = -(-rle_max_encoded_len(n) // 128) * 128
+    chunks = np.zeros((C, n), np.uint8)
+    lens = np.zeros((C,), np.int32)
+    carries = np.zeros((C,), np.uint8)
+    for i, (data, carry) in enumerate(rows):
+        chunks[i, : len(data)] = np.frombuffer(data, np.uint8)
+        lens[i] = len(data)
+        carries[i] = carry
+    got_s, got_n = rle_diff_encode_fused(
+        jnp.asarray(chunks), jnp.asarray(lens), jnp.asarray(carries),
+        use_diff, cap, interpret=True)
+    exp_s, exp_n = _xla_ref(jnp.asarray(chunks), jnp.asarray(lens),
+                            jnp.asarray(carries), use_diff, cap)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(exp_n))
+    gs, es = np.asarray(got_s), np.asarray(exp_s)
+    for i in range(C):
+        np.testing.assert_array_equal(gs[i, : int(exp_n[i])],
+                                      es[i, : int(exp_n[i])],
+                                      err_msg=f"row {i}")
+
+
+@pytest.mark.parametrize("use_diff", [False, True])
+def test_fused_rle_edge_cases(use_diff):
+    # the test_jax_ops edge corpus, batched 4 rows at a time with mixed
+    # carries and short tails (length < n)
+    rows = [(d, c) for d, c in zip(EDGE_CASES, [0, 1, 65, 255] * 5)]
+    for i in range(0, len(rows), 4):
+        batch = rows[i : i + 4]
+        n = max(128, -(-max(len(d) for d, _ in batch) // 128) * 128)
+        _run_fused_case(batch, n, use_diff)
+
+
+@pytest.mark.parametrize("use_diff", [False, True])
+def test_fused_rle_chunk_boundary_carries(use_diff):
+    # split one stream across chunks: each chunk's carry is the previous
+    # chunk's last byte — exactly how _encode_sharded_stage seeds the rows
+    stream = bytes(
+        np.asarray(RNG.integers(0, 4, 2048), np.uint8)) + b"Z" * 300
+    n = 512
+    rows = []
+    for lo in range(0, len(stream), n):
+        carry = stream[lo - 1] if lo else 0
+        rows.append((stream[lo : lo + n], carry))
+    _run_fused_case(rows, n, use_diff)
+
+
+def test_fused_rle_long_run_past_mod258_domain():
+    # a single 70000-byte run makes (i - segment_start) exceed 66048, the
+    # round-3 _mod258 chain's exactness bound — the chain must extend with
+    # the static chunk size (ADVICE r3 medium #1)
+    n = 128 * 1024
+    data = b"A" * 70000 + b"BC" * 1000
+    _run_fused_case([(data, 0)], n, False)
+
+
+def test_fused_rle_run_ending_at_length():
+    # runs that end exactly at the valid length (the forced last-byte
+    # literal, transform.cpp:252) for lengths not on a lane boundary
+    for ln in (1, 2, 3, 127, 128, 129, 258, 259, 260, 300):
+        data = b"A" * ln
+        _run_fused_case([(data, 0)], 512, True)
