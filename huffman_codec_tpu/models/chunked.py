@@ -67,6 +67,7 @@ from huffman_codec_tpu.ops.adapt import (
 from huffman_codec_tpu.ops.canonical import (
     canonical_decode_batch,
     canonical_encode_batch,
+    canonical_encode_single,
 )
 from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch, max_code_bits
@@ -110,6 +111,36 @@ class CodecConfig:
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
+
+def _start_fetch(st: dict) -> None:
+    """Begin async device->host transfers for every array in a dispatched
+    candidate state — fetches then complete in one overlapped wave instead
+    of one ~28 ms tunnel round-trip each. A dense payload is NOT fetched
+    here: its real length is only known once the manifest lands, so the
+    assembler fetches ``payload[:used]`` in a second wave."""
+    for k, v in st.items():
+        if k == "payload" and st.get("dense"):
+            continue
+        if isinstance(v, jax.Array):
+            v.copy_to_host_async()
+
+
+def _presplice_payload(st: dict) -> None:
+    """Second fetch wave: once the manifest (wave 1) lands, slice the
+    dense payload to the used prefix — rounded up to a power of two so
+    the slice's compiled shape repeats across inputs — and start its
+    transfer. Callers run this for every candidate before assembling any,
+    so the slices ride one overlapped wave."""
+    if not st.get("dense"):
+        return
+    used = int(np.asarray(st["meta"]).sum())
+    bucket = 1024
+    while bucket < used:
+        bucket <<= 1
+    bucket = min(bucket, st["payload"].shape[0])
+    st["payload"] = st["payload"][:bucket]
+    st["payload"].copy_to_host_async()
+
 def _np_words_to_bytes(words: np.ndarray, n_bytes: int) -> bytes:
     """Big-endian u32 word stream -> wire bytes (host-side, zero-copy-ish)."""
     return words.astype(">u4").tobytes()[:n_bytes]
@@ -129,13 +160,6 @@ def _unpackk(raw: bytes, count: int, width: int) -> np.ndarray:
     return (bits << np.arange(width - 1, -1, -1)).sum(axis=1)
 
 
-def _lw_width(lane: int) -> int:
-    """lane_words manifest bit width, implied by the lane size."""
-    from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
-
-    return int(lane_words_cap(lane)).bit_length()
-
-
 def _n_words_for(length: int, entropy: str, lane: int = 512) -> int:
     """Decode-side word buffer bound per chunk."""
     if entropy == "canonical":
@@ -150,6 +174,23 @@ def _n_words_for(length: int, entropy: str, lane: int = 512) -> int:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _strip_payload(buf, lw):
+    """(C, n_lanes, W) padded lane buffers -> dense payload words, on
+    device (monotone butterfly): the host then fetches only the REAL
+    payload prefix instead of the x4-8 padded buffer — on a tunneled
+    chip the fetch is the adaptive-encode bottleneck."""
+    from huffman_codec_tpu.ops.compact import monotone_compact
+
+    C, nl, W = buf.shape
+    col = jnp.arange(W, dtype=jnp.int32)
+    kept = (col[None, None, :] < lw[:, :, None]).reshape(-1)
+    ki = kept.astype(jnp.int32)
+    rank = jnp.cumsum(ki) - ki
+    return monotone_compact(buf.reshape(-1).astype(jnp.int32), rank, kept,
+                            C * nl * W).astype(jnp.uint32)
+
+
 def _chunkify(stream, total, chunk_size, max_chunks):
     chunks = stream.reshape(max_chunks, chunk_size)
     lens = jnp.clip(
@@ -159,11 +200,22 @@ def _chunkify(stream, total, chunk_size, max_chunks):
     return chunks, lens
 
 
+_SINGLE_MAX = 2 << 20  # re-batched single-chunk path VMEM bound (bytes)
+
+
 def _entropy_encode(chunks, lens, entropy, lane):
     """Uniform 4-tuple: canonical -> (lane_buf (C, n_lanes, W), lane_words
     (C, n_lanes), tables, None); fgk -> (words, bits, None, None)."""
     if entropy == "canonical":
-        buf, lw, tables = canonical_encode_batch(chunks, lens, lane=lane)
+        C, L = chunks.shape
+        if C == 1 and L % (64 * lane) == 0 and L <= _SINGLE_MAX:
+            # whole-file profile: one table, lanes re-batched across the
+            # kernel chunk axis (full Pallas speed at single-chunk shapes)
+            buf, lw, tables = canonical_encode_single(chunks, lens,
+                                                      lane=lane)
+        else:
+            buf, lw, tables = canonical_encode_batch(chunks, lens,
+                                                     lane=lane)
         return buf, lw, tables, None
     L = chunks.shape[1]
     words, bits = fgk_encode_batch(chunks, lens, _n_words_for(L, "fgk"))
@@ -432,78 +484,128 @@ class TPUCodec:
                 # entropy stage + tile manifest, not the raw RLE size
                 x0 = jnp.asarray(np.frombuffer(data, np.uint8))
                 sx = diff_apply(x0) if cfg.use_diff else x0
-                bs = adapt_search_best_v3(sx, w, h,
-                                          rle_max_encoded_len(n) + 64)
+                bs = adapt_search_best_v3(sx, w, h)
             if (cfg.whole_file and cfg.entropy == "canonical"
                     and rle_max_encoded_len(n) + 64 <= 3_500_000):
-                return min(
-                    (self._encode_global(data, bs, whole=True),
-                     self._encode_global(data, bs, whole=False)),
-                    key=len)
-            return self._encode_global(data, bs, whole=False)
+                # best-of-two: DISPATCH both candidates before fetching
+                # either — the device work overlaps and the ~28 ms tunnel
+                # round-trips collapse into one wave
+                st1 = self._dispatch_global(data, bs, whole=True)
+                st2 = self._dispatch_global(data, bs, whole=False)
+                for st in (st1, st2):
+                    _start_fetch(st)
+                for st in (st1, st2):
+                    _presplice_payload(st)
+                return min((self._assemble_global(data, st1),
+                            self._assemble_global(data, st2)), key=len)
+            st = self._dispatch_global(data, bs, whole=False)
+            _start_fetch(st)
+            _presplice_payload(st)
+            return self._assemble_global(data, st)
         return self._finish_container(cfg.entropy, payload_a, meta_a,
                                       tables, n_chunks, n, total,
                                       adapt_meta, sharded_meta, data,
                                       cfg.chunk_size, cfg.lane)
 
-    def _encode_global(self, data: bytes, bs, whole: bool) -> bytes:
-        """One global-layout candidate: ``whole`` = single chunk at a lane
-        clamped to 32768 (one table, minimal manifest); else per-chunk
-        tables at the archival lane (2048) or the user's configured lane."""
+    def _dispatch_global(self, data: bytes, bs, whole: bool) -> dict:
+        """Dispatch one global-layout candidate's device stage WITHOUT any
+        host sync. ``whole`` = single chunk at lane <= 2048 with >= 64
+        lanes (one table, minimal manifest, lanes re-batched across the
+        kernel chunk axis); else per-chunk tables at the archival lane
+        (2048) or the user's configured lane."""
         cfg = self.config
         n = len(data)
         x = jnp.asarray(np.frombuffer(data, np.uint8))
         cap = rle_max_encoded_len(n) + 64
         if whole:
-            # one chunk, ~8 lanes: smallest power-of-two lane >= cap/8,
-            # clamped to the packed-manifest ceiling
-            lane = min(1 << 15, max(64, 1 << ((cap + 7) // 8 - 1)
-                                    .bit_length()))
-            cs = -(-cap // (8 * lane)) * (8 * lane)
+            # one chunk, one table, >= 64 lanes: lane capped at 2048 so
+            # both entropy directions ride the Pallas kernels (the r3
+            # 32768-lane archival profile fell back to the XLA scan
+            # decoder — 14 s warm on TPU); the lane COUNT grows instead
+            # and re-batches across the kernel chunk axis
+            # (canonical_encode_single / the decode-side re-batch)
+            lane = min(2048, max(64, 1 << (-(-cap // 64) - 1).bit_length()))
+            cs = -(-cap // (64 * lane)) * (64 * lane)
             cap = cs
         else:
             lane = (2048 if cfg.whole_file and cfg.entropy == "canonical"
                     and cfg.chunk_size % 2048 == 0 else cfg.lane)
             cs = cfg.chunk_size
         max_chunks = _cdiv(cap, cs)
+        st = dict(cs=cs, lane=lane, bs=bs, n=n)
         if cfg.use_adapt:
             w, h = cfg.width, n // cfg.width
-            payload_a, meta_a, tables, _, total, dirs, tile_lens = (
-                _encode_adapt_stage(x, cfg.use_diff, w, h, bs, cs,
-                                    max_chunks, cfg.entropy, lane))
-            tile_lens = np.asarray(tile_lens)
-            if cfg.entropy == "canonical":
-                est_payload = 4 * int(np.asarray(meta_a).sum())
-            else:
-                est_payload = int(np.asarray(meta_a).sum()) // 8
-            grouped = grouped_manifest(len(tile_lens), bs, est_payload)
-            adapt_meta = (w, h, bs, np.asarray(dirs), tile_lens, grouped)
+            (st["payload"], st["meta"], st["tables"], _, st["total"],
+             st["dirs"], st["tile_lens"]) = _encode_adapt_stage(
+                x, cfg.use_diff, w, h, bs, cs, max_chunks, cfg.entropy,
+                lane)
+            st["wh"] = (w, h)
         else:
-            payload_a, meta_a, tables, _, total = _encode_stream_stage(
-                x, cfg.use_diff, cs, max_chunks, cfg.entropy, lane)
+            st["payload"], st["meta"], st["tables"], _, st["total"] = (
+                _encode_stream_stage(x, cfg.use_diff, cs, max_chunks,
+                                     cfg.entropy, lane))
+        if cfg.entropy == "canonical":
+            # dense payload on device; the padded buffer never crosses
+            # the host<->device link (fetched as dense[:used] later)
+            st["payload"] = _strip_payload(st["payload"], st["meta"])
+            st["dense"] = True
+        return st
+
+    def _assemble_global(self, data: bytes, st: dict) -> bytes:
+        """Fetch one dispatched candidate (transfers were started by
+        ``_start_fetch``) and assemble its container."""
+        cfg = self.config
+        cs, lane = st["cs"], st["lane"]
+        if cfg.use_adapt:
+            tile_lens = np.asarray(st["tile_lens"])
+            if cfg.entropy == "canonical":
+                est_payload = 4 * int(np.asarray(st["meta"]).sum())
+            else:
+                est_payload = int(np.asarray(st["meta"]).sum()) // 8
+            grouped = grouped_manifest(len(tile_lens), st["bs"],
+                                       est_payload)
+            adapt_meta = (*st["wh"], st["bs"], np.asarray(st["dirs"]),
+                          tile_lens, grouped)
+        else:
             adapt_meta = None
-        total = int(total)
+        total = int(st["total"])
         n_chunks = _cdiv(total, cs)
-        return self._finish_container(cfg.entropy, payload_a, meta_a,
-                                      tables, n_chunks, n, total,
-                                      adapt_meta, None, data, cs, lane)
+        return self._finish_container(cfg.entropy, st["payload"],
+                                      st["meta"], st["tables"], n_chunks,
+                                      st["n"], total, adapt_meta, None,
+                                      data, cs, lane,
+                                      dense=st.get("dense", False))
+
+    def _encode_global(self, data: bytes, bs, whole: bool) -> bytes:
+        st = self._dispatch_global(data, bs, whole)
+        _start_fetch(st)
+        return self._assemble_global(data, st)
 
     def _finish_container(self, entropy, payload_a, meta_a, tables,
                           n_chunks, orig, total, adapt_meta, sharded_meta,
-                          data, chunk_size, lane) -> bytes:
+                          data, chunk_size, lane, dense=False) -> bytes:
         if entropy == "canonical":
-            # payload_a: (nc, n_lanes, W) word-aligned lane buffers;
-            # meta_a: (nc, n_lanes) used words per lane. One boolean mask
-            # strips the inter-lane padding (host memcpy speed).
             lw = np.asarray(meta_a)[:n_chunks]
-            buf = np.asarray(payload_a)[:n_chunks]
-            colw = np.arange(buf.shape[2] if n_chunks else 0)
-            streams = [
-                buf[c].astype(">u4")[colw[None, :] < lw[c][:, None]].tobytes()
-                for c in range(n_chunks)
-            ]
             chunk_bits = (lw.sum(axis=1, dtype=np.int64) * 32).tolist()
             lanes_np = lw
+            if dense:
+                # payload_a is the device-side dense word stream, already
+                # bucket-sliced by _presplice_payload with its transfer in
+                # flight; trim to the exact used prefix on host
+                used = int(lw.sum())
+                streams = [np.asarray(payload_a)[:used].astype(
+                    ">u4").tobytes()]
+            else:
+                # payload_a: (nc, n_lanes, W) word-aligned lane buffers;
+                # meta_a: (nc, n_lanes) used words per lane. One boolean
+                # mask strips the inter-lane padding (host memcpy speed).
+                buf = np.asarray(payload_a)[:n_chunks]
+                colw = np.arange(buf.shape[2] if n_chunks else 0)
+                streams = [
+                    buf[c].astype(">u4")[
+                        colw[None, :] < lw[c][:, None]].tobytes()
+                    for c in range(n_chunks)
+                ]
         else:
             bits_np = np.asarray(meta_a)[:n_chunks]
             words_np = np.asarray(payload_a[:n_chunks])
@@ -534,7 +636,7 @@ class TPUCodec:
         canonical = cfg.entropy == "canonical" and tables is not None
         out = bytearray()
         out += V3_MAGIC
-        out.append(2)  # container version (2: packed canonical manifests)
+        out.append(3)  # container version (3: per-container lane-words width)
         out.append(flags)
         out.append(_ENTROPY[cfg.entropy])
         # canonical code-length table bit width (0 for fgk)
@@ -542,6 +644,13 @@ class TPUCodec:
         if canonical and len(chunk_bits):
             tw = 4 if int(np.max(tables)) <= 15 else 5
         out.append(tw)
+        # lane-words manifest bit width: the actual maximum for THIS
+        # container, not the lane-implied worst case (_lw_width) — worth
+        # 100-300 B on corpus-scale containers at one header byte
+        kw = 0
+        if canonical and len(chunk_bits):
+            kw = max(1, int(np.asarray(lane_words).max()).bit_length())
+        out.append(kw)
         out += struct.pack("<QQIIII", orig, total, chunk_size,
                            len(chunk_bits), lane, crc)
         if cfg.use_adapt and adapt_meta is not None:
@@ -583,7 +692,7 @@ class TPUCodec:
             # would be silently dropped -> corrupt container; fail loudly
             assert (lw[~mask] == 0).all(), \
                 "lane_words nonzero outside the used-lane mask"
-            out += _packk(lw[mask], _lw_width(lane))
+            out += _packk(lw[mask], kw)
         out += payload
         return bytes(out)
 
@@ -723,10 +832,27 @@ class TPUCodec:
                                              n_chunks)
                      if hdr["entropy"] == ENTROPY_CANONICAL
                      else self._load_words(blob, hdr))
-            counts = jnp.asarray(np.clip(
-                hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs, 0, cs
-            ).astype(np.int32))
-            chunks = _entropy_decode(words, counts, hdr, cs)
+            n_lanes = cs // hdr["lane"]
+            if (hdr["entropy"] == ENTROPY_CANONICAL and n_chunks == 1
+                    and n_lanes % 8 == 0 and n_lanes >= 8
+                    and cs <= _SINGLE_MAX):
+                # whole-file container: decode the single chunk's lanes as
+                # 8 pseudo-chunks sharing the one table — fills the Pallas
+                # kernel's sublane batch and keeps its VMEM blocks ~cs/2
+                sub = dict(hdr)
+                sub["tables"] = np.tile(hdr["tables"], (8, 1))
+                sub["lane_words"] = hdr["lane_words"].reshape(8, -1)
+                scs = cs // 8
+                counts = jnp.asarray(np.clip(
+                    hdr["total"] - np.arange(8, dtype=np.int64) * scs,
+                    0, scs).astype(np.int32))
+                chunks = _entropy_decode(
+                    words.reshape(8, -1), counts, sub, scs)
+            else:
+                counts = jnp.asarray(np.clip(
+                    hdr["total"] - np.arange(n_chunks, dtype=np.int64) * cs,
+                    0, cs).astype(np.int32))
+                chunks = _entropy_decode(words, counts, hdr, cs)
             stream = chunks.reshape(-1)
             if hdr["flags"] & FLAG_ADAPT:
                 nt = len(hdr["dirs"])
@@ -794,14 +920,15 @@ class TPUCodec:
 
     @staticmethod
     def _parse(blob: bytes) -> dict:
-        if len(blob) < 42 or blob[:6] != V3_MAGIC or blob[6] != 2:
+        if len(blob) < 43 or blob[:6] != V3_MAGIC or blob[6] != 3:
             raise ValueError("invalid v3 container")
         flags = blob[7]
         entropy = blob[8]
         tblw = blob[9]  # canonical table bit width (4 or 5; 0 for fgk)
+        kw = blob[10]  # lane-words manifest bit width (container max)
         orig, total, chunk_size, n_chunks, lane, crc = struct.unpack_from(
-            "<QQIIII", blob, 10)
-        pos = 42
+            "<QQIIII", blob, 11)
+        pos = 43
         hdr = dict(flags=flags, entropy=entropy, orig=orig, total=total,
                    chunk_size=chunk_size, n_chunks=n_chunks, lane=lane,
                    crc=crc)
@@ -845,7 +972,6 @@ class TPUCodec:
                 (hdr["rle_lens"], None) if flags & FLAG_SHARDED else None,
                 total, chunk_size, n_chunks)
             used = -(-counts // lane)
-            kw = _lw_width(lane)
             n_entries = int(used.sum())
             entries = _unpackk(blob[pos:], n_entries, kw)
             pos += (n_entries * kw + 7) // 8

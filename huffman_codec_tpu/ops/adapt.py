@@ -86,7 +86,25 @@ def _tile_maps(width: int, height: int, bs: int):
     return hor, ver, lens
 
 
+def _tiles_fast(flat: jax.Array, width: int, height: int, bs: int):
+    """Gather-free tile streams for the aligned case (bs divides both
+    dims): scan-order reordering is a pure reshape/transpose — an
+    HBM-bandwidth copy on TPU instead of a ~10 ns/element gather.
+
+    hor tile t=(by,bx) position j=(y*bs+x): axes (by, bx, y, x);
+    ver position j=(x*bs+y) (transform.cpp:79-91): axes (by, bx, x, y).
+    Tile order (by, bx) row-major matches getBlockBase
+    (transform.cpp:25-40)."""
+    m = flat.reshape(height // bs, bs, width // bs, bs)
+    hor = m.transpose(0, 2, 1, 3).reshape(-1, bs * bs)
+    ver = m.transpose(0, 2, 3, 1).reshape(-1, bs * bs)
+    return hor, ver
+
+
 def _gather_tiles(flat: jax.Array, width: int, height: int, bs: int):
+    if width % bs == 0 and height % bs == 0:
+        hor, ver = _tiles_fast(flat, width, height, bs)
+        return hor, ver, jnp.full((hor.shape[0],), bs * bs, jnp.int32)
     hor_idx, ver_idx, lens = _tile_maps(width, height, bs)
     return flat[jnp.asarray(hor_idx)], flat[jnp.asarray(ver_idx)], jnp.asarray(lens)
 
@@ -219,19 +237,67 @@ def tile_len_width(bs: int) -> int:
     return 2 if rle_max_encoded_len(bs * bs) <= 0xFFFF else 4
 
 
-@jax.jit
-def _canonical_bits_estimate(stream: jax.Array, total: jax.Array) -> jax.Array:
-    """Estimated canonical-entropy payload bits of ``stream[:total]`` under
-    one optimal table — the cost model for the v3 block-size search."""
-    from huffman_codec_tpu.ops.canonical import build_lengths, histogram
+def _emission_histogram(vals: jax.Array, n_invalid: jax.Array) -> jax.Array:
+    """(256,) counts of the emitted bytes: ``vals`` is the flat emission
+    array with non-emitting positions mapped to 0; the caller passes how
+    many of those there are and bucket 0 is corrected afterwards — this
+    keeps the histogram a dense fixed-shape op (Pallas on TPU) with no
+    compaction pass at all."""
+    from huffman_codec_tpu.ops.canonical import histogram
 
-    counts = histogram(stream[None, :], total[None])
-    lens = build_lengths(counts)
-    return jnp.sum(counts * lens)
+    L2 = 8192
+    flat = vals.reshape(-1)
+    pad = -flat.shape[0] % L2
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    rows = flat.reshape(-1, L2)
+    counts = histogram(rows, jnp.full((rows.shape[0],), L2, jnp.int32))
+    counts = jnp.sum(counts, axis=0)
+    return counts.at[0].add(-(n_invalid + pad))
 
 
-def adapt_search_best_v3(matrix: jax.Array, width: int, height: int,
-                         out_len: int) -> int:
+@functools.partial(jax.jit, static_argnames=("width", "height", "bs"))
+def _adapt_score_v3(matrix: jax.Array, width: int, height: int,
+                    bs: int) -> jax.Array:
+    """Estimated final v3 container bytes for ONE candidate block size,
+    with NO materialization: per-tile encoded sizes in both scan orders
+    come from the closed-form emission formula (ops/rle._emissions), the
+    entropy estimate from a masked histogram of the winning-direction
+    emission values (identical, as a multiset, to the histogram of the
+    materialized stream the round-3 search built — so the choice is
+    unchanged, the 2x full RLE encodes + scatters per candidate are
+    gone). Returns an int32 scalar ON DEVICE so the caller can dispatch
+    every candidate asynchronously and sync once."""
+    from huffman_codec_tpu.ops.canonical import build_lengths
+    from huffman_codec_tpu.ops.rle import _emissions
+
+    flat = matrix.reshape(-1)
+    hor, ver, lens = _gather_tiles(flat, width, height, bs)
+    nt = hor.shape[0]
+    el_h, ec_h, cv_h = jax.vmap(_emissions)(hor, lens)
+    el_v, ec_v, cv_v = jax.vmap(_emissions)(ver, lens)
+    h_sz = jnp.sum(el_h.astype(jnp.int32) + ec_h.astype(jnp.int32), axis=1)
+    v_sz = jnp.sum(el_v.astype(jnp.int32) + ec_v.astype(jnp.int32), axis=1)
+    dirs = (h_sz <= v_sz)[:, None]  # horizontal wins ties
+    vals = jnp.where(
+        dirs,
+        jnp.where(el_h, hor, jnp.where(ec_h, cv_h, 0)),
+        jnp.where(el_v, ver, jnp.where(ec_v, cv_v, 0)),
+    ).astype(jnp.uint8)
+    emitted = jnp.sum(jnp.minimum(h_sz, v_sz))
+    n_invalid = nt * hor.shape[1] - emitted
+    counts = _emission_histogram(vals, n_invalid)
+    bit_lens = build_lengths(counts[None, :])[0]
+    est = jnp.sum(counts * bit_lens) // 8
+    per_tile = jnp.where(
+        (nt > GROUP_K)
+        & (nt * tile_len_width(bs) > jnp.maximum(64, est // 64)),
+        -(-nt // GROUP_K) * 4, nt * tile_len_width(bs))
+    return (est + per_tile + (nt + 7) // 8).astype(jnp.int32)
+
+
+def adapt_search_best_v3(matrix: jax.Array, width: int,
+                         height: int) -> int:
     """v3 block-size search: minimize the ESTIMATED FINAL container bytes —
     entropy-coded payload + the v3 tile manifest — not the raw RLE size.
 
@@ -240,20 +306,16 @@ def adapt_search_best_v3(matrix: jax.Array, width: int, height: int,
     candidates very differently (a small-tile stream is shorter but its
     4x-larger tile manifest can swamp the gain), so the search must price
     both. The v1 parity path keeps the reference objective.
-    """
-    best_score, best_bs = None, None
-    for bs in candidate_sizes(width, height):
-        stream, total, dirs, _ = adapt_encode_fixed(
-            matrix, width, height, bs, out_len=out_len, with_header=False)
-        nt = int(dirs.shape[0])
-        est = int(_canonical_bits_estimate(stream, total)) // 8
-        per_tile = nt * tile_len_width(bs)
-        if grouped_manifest(nt, bs, est):
-            per_tile = -(-nt // GROUP_K) * 4
-        score = est + per_tile + (nt + 7) // 8
-        if best_score is None or score < best_score:
-            best_score, best_bs = score, bs
-    return best_bs
+
+    All candidate scores are dispatched before any is fetched — one
+    device sync total (the round-trip latency dominates the device work
+    on a tunneled chip)."""
+    cands = candidate_sizes(width, height)
+    scores = [_adapt_score_v3(matrix, width, height, bs) for bs in cands]
+    for s in scores:
+        s.copy_to_host_async()
+    vals = [int(s) for s in scores]
+    return cands[int(np.argmin(vals))]  # first minimum == smaller bs
 
 
 def _be64(v: int) -> np.ndarray:
@@ -293,11 +355,22 @@ def adapt_encode_fixed(
         out_len = header_len + nt * cap
     total = header_len + jnp.sum(tile_n)
 
-    out = jnp.zeros((out_len,), jnp.uint8)
+    # concatenate the winning tile streams with the monotone butterfly
+    # (each kept byte's output offset IS its rank among kept bytes) —
+    # XLA:TPU scatters run ~14 ns/index, the butterfly is pure VPU
+    from huffman_codec_tpu.ops.compact import monotone_compact
+
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    off = jnp.cumsum(tile_n) - tile_n
+    kept = (j < tile_n[:, None]).reshape(-1)
+    rank = (off[:, None] + j).reshape(-1)
+    body = monotone_compact(tile_s.reshape(-1).astype(jnp.int32), rank,
+                            kept, out_len - header_len).astype(jnp.uint8)
     if with_header:
-        out = out.at[:8].set(jnp.asarray(_be64(width)))
-        out = out.at[8:16].set(jnp.asarray(_be64(height)))
-        out = out.at[16:24].set(jnp.asarray(_be64(bs)))
+        hdr = jnp.zeros((header_len,), jnp.uint8)
+        hdr = hdr.at[:8].set(jnp.asarray(_be64(width)))
+        hdr = hdr.at[8:16].set(jnp.asarray(_be64(height)))
+        hdr = hdr.at[16:24].set(jnp.asarray(_be64(bs)))
         # scanDir bits MSB-first, 1 = horizontal, 0-pad (headers.cpp:41-60)
         dpad = jnp.zeros((n_dir_bytes * 8,), jnp.uint8).at[:nt].set(
             dirs.astype(jnp.uint8))
@@ -305,13 +378,10 @@ def adapt_encode_fixed(
             dpad.reshape(n_dir_bytes, 8)
             * (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8))),
             axis=1, dtype=jnp.uint8)
-        out = out.at[ADAPT_HEADER_BYTES:header_len].set(dir_bytes)
-
-    off = jnp.cumsum(tile_n) - tile_n + header_len
-    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx = off[:, None] + j
-    idx = jnp.where(j < tile_n[:, None], idx, out_len)  # drop padding
-    out = out.at[idx.reshape(-1)].set(tile_s.reshape(-1), mode="drop")
+        hdr = hdr.at[ADAPT_HEADER_BYTES:header_len].set(dir_bytes)
+        out = jnp.concatenate([hdr, body])
+    else:
+        out = body
     return out, total, dirs, tile_n
 
 

@@ -111,12 +111,14 @@ def rle_encode(
     per_pos = eli + emit_cnt.astype(jnp.int32)
     off = jnp.cumsum(per_pos) - per_pos  # exclusive prefix sum
     total = off[-1] + per_pos[-1]
-    slot = jnp.arange(2 * n, dtype=jnp.int32)
-    i = slot >> 1
-    first = (slot & 1) == 0
-    emit = jnp.where(first, emit_lit[i], emit_cnt[i])
-    tgt = off[i] + jnp.where(first, 0, eli[i])  # == rank among emitted
-    val = jnp.where(first, x[i], cnt_val[i]).astype(jnp.int32)
+    # slot 2i = position i's literal, 2i+1 its count byte: interleave with
+    # stack+reshape, NOT x[slot >> 1] indexing — XLA:TPU executes those
+    # strided gathers at ~14 ns/element (5 of them cost 35 ms for a
+    # 262 KB stream; the reshape form is a layout no-op)
+    emit = jnp.stack([emit_lit, emit_cnt], axis=-1).reshape(2 * n)
+    tgt = jnp.stack([off, off + eli], axis=-1).reshape(2 * n)
+    val = jnp.stack([x.astype(jnp.int32), cnt_val.astype(jnp.int32)],
+                    axis=-1).reshape(2 * n)
     out = monotone_compact(val, tgt, emit, out_len).astype(jnp.uint8)
     return out, total
 
