@@ -324,7 +324,21 @@ def _decode_sharded_tail(chunks_rle, rle_lens, carries, chunk_size: int,
                          cap: int, use_diff: bool):
     """Per-chunk RLE decode + per-chunk diff revert seeded by the stored
     carry bytes — no global pass, so decode streams through the same
-    fixed-shape compilation as encode."""
+    fixed-shape compilation as encode. On TPU the expansion + diff run
+    as one fused Pallas kernel (ops/pallas_kernels.rle_expand) over the
+    XLA FSM classification; the XLA expansion's ~40 butterfly rounds
+    each round-trip HBM and were the decode-tail bottleneck."""
+    from huffman_codec_tpu.ops.canonical import _use_pallas
+    from huffman_codec_tpu.ops.rle import rle_classify
+
+    if (jax.default_backend() != "cpu" and _use_pallas()
+            and cap % 128 == 0 and chunk_size % 128 == 0):
+        from huffman_codec_tpu.ops.pallas_kernels import rle_expand
+
+        ic = jax.vmap(lambda s, l: rle_classify(s, l))(chunks_rle, rle_lens)
+        out = rle_expand(chunks_rle, ic, rle_lens, carries, chunk_size,
+                         use_diff)
+        return out.reshape(-1)
     dec = jax.vmap(lambda s, l: rle_decode(s, l, out_len=chunk_size)[0])
     out = dec(chunks_rle, rle_lens)
     if use_diff:
@@ -346,15 +360,30 @@ def _entropy_decode(words, counts, hdr, chunk_size):
 @functools.partial(jax.jit, static_argnames=("n_lanes", "wb"))
 def _repad_words(flat, lane_words, n_lanes: int, wb: int):
     """Contiguous payload words -> the decoder's padded fixed-stride
-    layout, on device: offsets = one cumsum of lane_words, layout = one
-    vectorized gather (clamped) + mask."""
-    lw = lane_words.astype(jnp.int32)
-    lane_off = (jnp.cumsum(lw.reshape(-1)) - lw.reshape(-1)).reshape(lw.shape)
-    col = jnp.arange(wb, dtype=jnp.int32)
-    idx = lane_off[:, :, None] + col[None, None, :]
-    w = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
-    return jnp.where(col[None, None, :] < lw[:, :, None], w, 0).reshape(
-        lw.shape[0], n_lanes * wb)
+    layout, on device, ALL butterfly routing: the round-3 gather
+    formulation paid ~14 ns per OUTPUT slot (235 ms per 16.8 MB decode
+    step — the decode-throughput bottleneck); the spread form is ~17 ms.
+    (1) spread (lane id, lane start) across the dense word axis, (2)
+    route dense word i to slot lane(i) * wb + (i - start(i)). Padding
+    slots receive neighbouring-lane garbage rather than zeros — every
+    consumer masks by lane_words / symbol counts."""
+    from huffman_codec_tpu.ops.compact import monotone_spread
+
+    C, nl = lane_words.shape
+    lw = lane_words.astype(jnp.int32).reshape(-1)
+    off = jnp.cumsum(lw) - lw
+    total = jnp.sum(lw)
+    Nw = flat.shape[0]
+    kept_l = lw > 0
+    ids = jnp.arange(C * nl, dtype=jnp.int32)
+    lid, _ = monotone_spread(ids, off, kept_l, Nw, max_gap=wb)
+    loff, _ = monotone_spread(off, off, kept_l, Nw, max_gap=wb)
+    i = jnp.arange(Nw, dtype=jnp.int32)
+    tgt = lid * wb + (i - loff)
+    valid = i < total
+    out, _ = monotone_spread(flat.astype(jnp.int32), tgt, valid,
+                             C * nl * wb, max_gap=wb)
+    return out.astype(jnp.uint32).reshape(C, nl * wb)
 
 
 @functools.partial(jax.jit, static_argnames=("out_len", "use_diff"))
@@ -518,14 +547,18 @@ class TPUCodec:
         x = jnp.asarray(np.frombuffer(data, np.uint8))
         cap = rle_max_encoded_len(n) + 64
         if whole:
-            # one chunk, one table, >= 64 lanes: lane capped at 2048 so
-            # both entropy directions ride the Pallas kernels (the r3
-            # 32768-lane archival profile fell back to the XLA scan
-            # decoder — 14 s warm on TPU); the lane COUNT grows instead
-            # and re-batches across the kernel chunk axis
-            # (canonical_encode_single / the decode-side re-batch)
-            lane = min(2048, max(64, 1 << (-(-cap // 64) - 1).bit_length()))
-            cs = -(-cap // (64 * lane)) * (64 * lane)
+            # one chunk, ~8-16 fat lanes: smallest power-of-two lane
+            # >= cap/8, clamped to 32768 — the minimal-manifest archival
+            # geometry (every lane entry costs ~2.4 B of word padding +
+            # manifest bits), exactly the r3 economics. Decode re-batches
+            # the lanes across the kernel chunk axis and rides the
+            # LANE-MAJOR Pallas decode kernel (r3 fell back to a 14 s XLA
+            # scan here); the pack kernel's VMEM ceiling is 16384, so
+            # 32768-lane encodes take the XLA pack path (~tens of ms on
+            # these whole-file shapes — decode speed is what users feel)
+            lane = min(1 << 15, max(64, 1 << ((cap + 7) // 8 - 1)
+                                    .bit_length()))
+            cs = -(-cap // (8 * lane)) * (8 * lane)
             cap = cs
         else:
             lane = (2048 if cfg.whole_file and cfg.entropy == "canonical"
@@ -769,20 +802,112 @@ class TPUCodec:
         the padded buffer, and the padded layout is built by one XLA
         gather instead of host numpy. ``rows`` >= c1-c0 zero-pads the
         chunk axis to the fixed step grid."""
+        fd, lw = self._stage_words(blob, hdr, c0, c1, rows)
+        cs = hdr["chunk_size"]
+        L = (_sharded_cap(cs, "canonical", hdr["lane"])
+             if hdr["flags"] & FLAG_SHARDED else cs)
+        return _repad_words(fd, lw, L // hdr["lane"], hdr["wl_bucket"])
+
+    def _stage_words(self, blob, hdr, c0, c1, rows):
+        """The transfer half of ``_load_words_device``: the contiguous
+        payload slice as dense big-endian-decoded u32 words (padded to a
+        power-of-two bucket so downstream shapes repeat across steps and
+        containers) plus the padded lane_words slice, both shipped to
+        device. NOTE on this rig: the payload is high-entropy, which the
+        dev tunnel's compressed transport moves ~30x slower than raw
+        corpus bytes — real PCIe does not care."""
         cs = hdr["chunk_size"]
         L = (_sharded_cap(cs, "canonical", hdr["lane"])
              if hdr["flags"] & FLAG_SHARDED else cs)
         n_lanes = L // hdr["lane"]
-        Wb = hdr["wl_bucket"]
         offs = hdr["chunk_offs"]
         base = hdr["payload_off"] + int(offs[c0])
         nbytes = int(offs[c1] - offs[c0])
         lw = np.zeros((rows, n_lanes), np.int32)
         lw[: c1 - c0] = hdr["lane_words"][c0:c1]
-        if nbytes == 0:
-            return jnp.zeros((rows, n_lanes * Wb), jnp.uint32)
-        flat = np.frombuffer(blob, ">u4", nbytes // 4, base).astype(np.uint32)
-        return _repad_words(jnp.asarray(flat), jnp.asarray(lw), n_lanes, Wb)
+        nb = 1024
+        while nb < nbytes // 4:
+            nb <<= 1
+        fpad = np.zeros(nb, np.uint32)
+        if nbytes:
+            fpad[: nbytes // 4] = np.frombuffer(blob, ">u4", nbytes // 4,
+                                                base)
+        return jnp.asarray(fpad), jnp.asarray(lw)
+
+    def stage_decode_steps(self, blob: bytes, hdr: dict | None = None):
+        """Parse + start the host->device transfers for every decode
+        step WITHOUT dispatching any compute. Returns (hdr, staged):
+        each staged entry holds the step's device arrays (dense payload
+        words, manifest slices). Splitting staging from compute lets a
+        server overlap the next batch's upload with this one's decode —
+        and lets the bench time the device decode with inputs resident
+        (symmetric with the encode metric)."""
+        hdr = self._parse(blob) if hdr is None else hdr
+        if not hdr["flags"] & FLAG_SHARDED:
+            raise ValueError("decode_steps requires the sharded layout")
+        n_chunks = hdr["n_chunks"]
+        S = min(self.config.step_chunks or n_chunks, n_chunks)
+        n_steps = _cdiv(n_chunks, S)
+        staged = []
+        for k in range(n_steps):
+            c0, c1 = k * S, min(n_chunks, (k + 1) * S)
+            st = {"c0": c0, "c1": c1}
+            rl = hdr["rle_lens"][c0:c1].astype(np.int32)
+            car = hdr["carries"][c0:c1]
+            sub = dict(hdr)
+            if hdr["entropy"] == ENTROPY_CANONICAL:
+                st["flat"], st["lw"] = self._stage_words(blob, hdr, c0, c1,
+                                                         S)
+                sub["tables"] = hdr["tables"][c0:c1]
+                sub["lane_words"] = hdr["lane_words"][c0:c1]
+            else:
+                st["words"] = self._load_words(blob, hdr, c0, c1)
+            if c1 - c0 < S:  # zero-pad the tail step to the fixed grid
+                pad = S - (c1 - c0)
+                if hdr["entropy"] == ENTROPY_CANONICAL:
+                    sub["tables"] = np.pad(sub["tables"], ((0, pad), (0, 0)))
+                    sub["lane_words"] = np.pad(sub["lane_words"],
+                                               ((0, pad), (0, 0)))
+                else:
+                    st["words"] = np.pad(st["words"], ((0, pad), (0, 0)))
+                rl = np.pad(rl, (0, pad))
+                car = np.pad(car, (0, pad))
+            st["sub"] = sub
+            st["rl"] = jnp.asarray(rl)
+            st["car"] = jnp.asarray(car)
+            staged.append(st)
+        return hdr, staged
+
+    def run_decode_steps(self, hdr: dict, staged: list):
+        """Dispatch the decode compute for pre-staged steps; returns the
+        per-step DEVICE output arrays without fetching (async)."""
+        cs = hdr["chunk_size"]
+        use_diff = bool(hdr["flags"] & FLAG_DIFF)
+        entropy = ("canonical" if hdr["entropy"] == ENTROPY_CANONICAL
+                   else "fgk")
+        cap = _sharded_cap(cs, entropy, hdr["lane"])
+        L = cap if hdr["flags"] & FLAG_SHARDED else cs
+        n_lanes = L // hdr["lane"]
+        parts = []
+        for st in staged:
+            if "flat" in st:
+                w = _repad_words(st["flat"], st["lw"], n_lanes,
+                                 hdr["wl_bucket"])
+            else:
+                w = jnp.asarray(st["words"])
+            chunks_rle = _entropy_decode(w, st["rl"], st["sub"], cap)
+            parts.append(_decode_sharded_tail(
+                chunks_rle, st["rl"], st["car"], cs, cap, use_diff))
+        return parts
+
+    def decode_steps(self, blob: bytes, hdr: dict | None = None):
+        """Dispatch the sharded-layout decode and return the per-step
+        DEVICE arrays without fetching — the streaming-serve primitive:
+        H2D transfers, entropy decode and the RLE+diff tail all queue
+        asynchronously; the caller decides when (and whether) the
+        results cross back to the host."""
+        hdr, staged = self.stage_decode_steps(blob, hdr)
+        return self.run_decode_steps(hdr, staged)
 
     def decode(self, blob: bytes) -> bytes:
         hdr = self._parse(blob)
@@ -792,39 +917,13 @@ class TPUCodec:
         n_chunks = hdr["n_chunks"]
         use_diff = bool(hdr["flags"] & FLAG_DIFF)
         if hdr["flags"] & FLAG_SHARDED:
-            entropy = ("canonical" if hdr["entropy"] == ENTROPY_CANONICAL
-                       else "fgk")
-            cap = _sharded_cap(cs, entropy, hdr["lane"])
-            S = min(self.config.step_chunks or n_chunks, n_chunks)
-            n_steps = _cdiv(n_chunks, S)
-            parts = []  # collected without blocking (async dispatch)
-            for k in range(n_steps):
-                c0, c1 = k * S, min(n_chunks, (k + 1) * S)
-                rl = hdr["rle_lens"][c0:c1].astype(np.int32)
-                car = hdr["carries"][c0:c1]
-                sub = dict(hdr)
-                if hdr["entropy"] == ENTROPY_CANONICAL:
-                    w = self._load_words_device(blob, hdr, c0, c1, S)
-                    sub["tables"] = hdr["tables"][c0:c1]
-                    sub["lane_words"] = hdr["lane_words"][c0:c1]
-                else:
-                    w = self._load_words(blob, hdr, c0, c1)
-                if c1 - c0 < S:  # zero-pad the tail step to the fixed grid
-                    pad = S - (c1 - c0)
-                    if hdr["entropy"] == ENTROPY_CANONICAL:
-                        sub["tables"] = np.pad(sub["tables"],
-                                               ((0, pad), (0, 0)))
-                        sub["lane_words"] = np.pad(sub["lane_words"],
-                                                  ((0, pad), (0, 0)))
-                    else:
-                        w = np.pad(w, ((0, pad), (0, 0)))
-                    rl = np.pad(rl, (0, pad))
-                    car = np.pad(car, (0, pad))
-                rl = jnp.asarray(rl)
-                chunks_rle = _entropy_decode(jnp.asarray(w), rl, sub, cap)
-                parts.append(_decode_sharded_tail(
-                    chunks_rle, rl, jnp.asarray(car), cs, cap, use_diff))
-            flat = (np.asarray(parts[0]) if n_steps == 1 else
+            parts = self.decode_steps(blob, hdr)
+            # overlapped device->host wave: start every part's transfer
+            # before touching any (a serial np.asarray per part measures
+            # ~26 MB/s on a tunneled chip vs ~45 MB/s overlapped)
+            for p in parts:
+                p.copy_to_host_async()
+            flat = (np.asarray(parts[0]) if len(parts) == 1 else
                     np.concatenate([np.asarray(p) for p in parts]))
             out = flat[: hdr["orig"]]
         else:

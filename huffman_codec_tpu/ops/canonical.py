@@ -443,12 +443,13 @@ def canonical_encode_batch(data: jax.Array, lengths: jax.Array,
     from huffman_codec_tpu.ops.pallas_kernels import (
         _LB, lane_pack, lane_pack_xla)
 
-    # lane <= 4096: the kernel's per-lane VMEM footprint scales with the
-    # lane size (measured: lane 32768 requests ~24 MB of scoped VMEM);
-    # bigger lanes (the whole-file archival profile) take the XLA path
+    # the pack kernel's grid step is one 8-lane row and its table lookup
+    # tiles the lane axis (_TL), so live VMEM is ~30 (8, lane) i32
+    # intermediates: lane 16384 measures ~12 MB scoped, 32768 OOMs the
+    # 16 MB limit — 16384 is the kernel ceiling (the whole-file profile)
     use_pl = (jax.default_backend() != "cpu" and _use_pallas()
               and lane % 128 == 0 and (L // lane) % _LB == 0
-              and lane <= 4096)
+              and lane <= 16384)
     if use_pl:
         buf, bits = lane_pack(data, lengths, tables, lane)
     else:
@@ -528,8 +529,23 @@ def canonical_decode_batch(
     Wl = W // n_lanes
     if out_len <= 0:
         raise ValueError("canonical_decode_batch needs static out_len")
-    if (jax.default_backend() != "cpu" and _use_pallas()
-            and lane <= 4096):  # same VMEM-scaling bound as the encoder
+    # Two kernel layouts. Time-major (lane_decode): output (lane, G, nl)
+    # with nl minor — nl pads to 128 vector lanes, so VMEM ~ 4 KB x
+    # (lane + Wl) regardless of nl; needs lane <= ~4096. Lane-major
+    # (lane_decode_lanemajor): output (G, nl, lane) with the symbol axis
+    # minor — VMEM ~ 32 x roundup(nl, 8) x (lane + Wl); the fat-lane
+    # whole-file profile (nl <= 16, lane up to 16384) rides this one
+    # after models/chunked.py re-batches its lanes across the chunk axis.
+    on_tpu = jax.default_backend() != "cpu" and _use_pallas()
+    if on_tpu and lane % 128 == 0 and lane > 4096 and n_lanes <= 16:
+        from huffman_codec_tpu.ops.pallas_kernels import (
+            lane_decode_lanemajor)
+
+        out = lane_decode_lanemajor(
+            words.reshape(C, n_lanes, Wl), lens_tables, lengths,
+            lane=lane, max_len=max_len)
+        return out[:, :out_len]
+    if on_tpu and lane % 8 == 0 and lane <= 4096:
         from huffman_codec_tpu.ops.pallas_kernels import lane_decode
 
         out = lane_decode(words.reshape(C, n_lanes, Wl), lens_tables,

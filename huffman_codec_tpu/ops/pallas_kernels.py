@@ -142,77 +142,89 @@ def _column_place(tgt0, vals, valid, col, shift_by):
     return v
 
 
+_TL = 2048  # table-lookup sub-tile: bounds the one-hot compare at
+# (256, _TL) i32 = 2 MB of vregs regardless of the lane size — this is
+# what lets lanes up to 32768 (the whole-file profile) ride the kernel
+
+
 def _lane_pack_kernel(len_ref, sym_ref, tab_ref, out_ref):
-    """One grid step = one chunk: per-symbol (code, len) via a 256-row
-    sum-select against the packed table (the same gather-free pattern the
-    decode kernel uses — every shape keeps the lane axis, which is what
-    Mosaic's layout inference needs; flatten-style reshapes don't lower),
-    lane-local offsets via log-shift prefix sums, window construction on
-    the VPU, and placement via the monotone butterfly — no
-    gather/scatter/sort anywhere; XLA:TPU executes those at ~10-14
-    ns/element (measured). Each lane's bit count rides in the buffer's
-    spare tail word (column W-1, beyond the 497-word data maximum)."""
-    c = pl.program_id(0)
-    n_lanes, lane = sym_ref.shape[1], sym_ref.shape[2]
+    """One grid step = an 8-lane row of one chunk (grid (C, n_lanes/8)):
+    per-symbol (code, len) via a 256-row sum-select against the packed
+    table (the same gather-free pattern the decode kernel uses — every
+    shape keeps the lane axis, which is what Mosaic's layout inference
+    needs; flatten-style reshapes don't lower), lane-local offsets via
+    log-shift prefix sums, window construction on the VPU, and placement
+    via the monotone butterfly — no gather/scatter/sort anywhere; XLA:TPU
+    executes those at ~10-14 ns/element (measured). The lookup runs in
+    _TL-wide sub-tiles so its one-hot never exceeds 2 MB of vregs — lanes
+    scale to 32768. Each lane's bit count rides in the buffer's spare
+    tail word (column W-1, beyond the per-lane data word maximum)."""
+    c, b = pl.program_id(0), pl.program_id(1)
+    lane = sym_ref.shape[2]
     W = out_ref.shape[2]
     length = len_ref[c]
     tab = tab_ref[0]  # (256, 1) i32 packed code | len << 26
-    krow = jax.lax.broadcasted_iota(jnp.int32, (N_SYM, lane), 0)
+    TL = min(lane, _TL)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (N_SYM, TL), 0)
 
-    def block(b, _):
-        sym = sym_ref[0, pl.ds(b * _LB, _LB), :]  # (LB, lane) int32
-        row = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 1)
-        # table lookup, one sublane row at a time: hit (256, lane) one-hot
-        # masks the broadcast table column; the sublane-axis sum collapses
-        # it to the row's packed values — all 2D, lane axis preserved
-        packed = jnp.zeros((_LB, lane), jnp.int32)
-        for r in range(_LB):
+    sym = sym_ref[0, :, :]  # (LB, lane) int32
+    row = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_LB, lane), 1)
+    # table lookup, one sublane row at a time, _TL lane columns at a
+    # time: hit (256, TL) one-hot masks the broadcast table column; the
+    # sublane-axis sum collapses it to the row's packed values
+    packed = jnp.zeros((_LB, lane), jnp.int32)
+    for r in range(_LB):
+        if TL == lane:
             hit = krow == sym[r: r + 1, :]
             val = jnp.sum(jnp.where(hit, tab, 0), axis=0, keepdims=True)
-            packed = jnp.where(row == r, val, packed)
-        # mask symbols past the chunk's true stream length
-        pos = (b * _LB + row) * lane + col
-        packed = jnp.where(pos < length, packed, 0)
-        code = (packed & ((1 << 26) - 1)).astype(jnp.uint32)
-        ln = packed >> 26
+        else:
+            tiles = []
+            for t0 in range(0, lane, TL):
+                hit = krow == sym[r: r + 1, t0: t0 + TL]
+                tiles.append(jnp.sum(jnp.where(hit, tab, 0), axis=0,
+                                     keepdims=True))
+            val = jnp.concatenate(tiles, axis=1)
+        packed = jnp.where(row == r, val, packed)
+    # mask symbols past the chunk's true stream length
+    pos = (b * _LB + row) * lane + col
+    packed = jnp.where(pos < length, packed, 0)
+    code = (packed & ((1 << 26) - 1)).astype(jnp.uint32)
+    ln = packed >> 26
 
-        # lane-local exclusive bit offsets (log-shift prefix sum)
-        acc = ln
-        d = 1
-        while d < lane:
-            rr = pltpu.roll(acc, shift=d, axis=1)
-            acc = acc + jnp.where(col < d, 0, rr)
-            d <<= 1
-        off = acc - ln  # inclusive -> exclusive
-        tb = acc[:, lane - 1: lane]  # (LB, 1) lane bit totals, kept 2D
+    # lane-local exclusive bit offsets (log-shift prefix sum)
+    acc = ln
+    d = 1
+    while d < lane:
+        rr = pltpu.roll(acc, shift=d, axis=1)
+        acc = acc + jnp.where(col < d, 0, rr)
+        d <<= 1
+    off = acc - ln  # inclusive -> exclusive
+    tb = acc[:, lane - 1: lane]  # (LB, 1) lane bit totals, kept 2D
 
-        # 2-word windows, MSB of the code at in-window bit (off & 31)
-        w0 = off >> 5
-        s = 64 - (off & 31) - ln
-        big = s >> 5  # 0: spills into w0+1; 1: fits in w0; 2: empty code
-        sm = (s & 31).astype(jnp.uint32)
-        zero = jnp.zeros_like(code)
-        fit = jnp.where(big == 1, code, zero)
-        spill = jnp.where(big == 0, code, zero)
-        win0 = (fit << sm) | jnp.where(sm == 0, jnp.uint32(0),
-                                       spill >> (jnp.uint32(32) - sm))
-        win1 = spill << sm
-        valid = ln > 0
-        win0 = jnp.where(valid, win0, 0).astype(jnp.int32)
-        win1 = jnp.where(valid, win1, 0).astype(jnp.int32)
+    # 2-word windows, MSB of the code at in-window bit (off & 31)
+    w0 = off >> 5
+    s = 64 - (off & 31) - ln
+    big = s >> 5  # 0: spills into w0+1; 1: fits in w0; 2: empty code
+    sm = (s & 31).astype(jnp.uint32)
+    zero = jnp.zeros_like(code)
+    fit = jnp.where(big == 1, code, zero)
+    spill = jnp.where(big == 0, code, zero)
+    win0 = (fit << sm) | jnp.where(sm == 0, jnp.uint32(0),
+                                   spill >> (jnp.uint32(32) - sm))
+    win1 = spill << sm
+    valid = ln > 0
+    win0 = jnp.where(valid, win0, 0).astype(jnp.int32)
+    win1 = jnp.where(valid, win1, 0).astype(jnp.int32)
 
-        out0 = _column_place(w0, win0, valid, col, 0)
-        out1 = _column_place(w0, win1, valid, col, 1)
-        words = out0 | out1
-        used = (tb + 31) >> 5  # (LB, 1)
-        words = jnp.where(col < used, words, 0)
-        # spare tail word (> 497-word data max) carries the lane bit count
-        words = jnp.where(col == W - 1, tb, words)
-        out_ref[0, pl.ds(b * _LB, _LB), :] = words[:, :W]
-        return 0
-
-    jax.lax.fori_loop(0, n_lanes // _LB, block, 0)
+    out0 = _column_place(w0, win0, valid, col, 0)
+    out1 = _column_place(w0, win1, valid, col, 1)
+    words = out0 | out1
+    used = (tb + 31) >> 5  # (LB, 1)
+    words = jnp.where(col < used, words, 0)
+    # spare tail word (> the data word maximum) carries the lane bit count
+    words = jnp.where(col == W - 1, tb, words)
+    out_ref[0, :, :] = words[:, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("lane", "interpret"))
@@ -242,13 +254,13 @@ def lane_pack(data: jax.Array, lengths: jax.Array, tables: jax.Array,
         _lane_pack_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(C,),
+            grid=(C, n_lanes // _LB),
             in_specs=[
-                pl.BlockSpec((1, n_lanes, lane), lambda c, lens: (c, 0, 0)),
-                pl.BlockSpec((1, 256, 1), lambda c, lens: (c, 0, 0)),
+                pl.BlockSpec((1, _LB, lane), lambda c, b, lens: (c, b, 0)),
+                pl.BlockSpec((1, 256, 1), lambda c, b, lens: (c, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, n_lanes, W),
-                                   lambda c, lens: (c, 0, 0)),
+            out_specs=pl.BlockSpec((1, _LB, W),
+                                   lambda c, b, lens: (c, b, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((C, n_lanes, W), jnp.int32),
         interpret=interpret,
@@ -441,6 +453,146 @@ def lane_decode(buf: jax.Array, lens_tables: jax.Array, lengths: jax.Array,
         Cp, n_lanes * lane)[:C].astype(jnp.uint8)
 
 
+def _lane_decode_kernel_lm(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
+                           out_ref):
+    """Lane-major variant of the decode kernel for FEW FAT lanes (the
+    whole-file archival profile: <= 16 lanes of up to 16384 symbols after
+    the chunk-axis re-batch). The time-major kernel's (lane, G, nl)
+    output block pads its minor nl axis to 128 vector lanes — ~4 KB per
+    symbol row, VMEM-infeasible past lane 4096. Here the SYMBOL axis is
+    minor: buf (G, nl, Wb), out (G, nl, lane); 128 decoded symbols
+    accumulate in a (G, nl, 128) register tile and store with one aligned
+    write. The per-symbol decode math is identical (first-l boundary
+    compare, bitplane symbol lookup, conditional refill)."""
+    G, nl, Wb = buf_ref.shape[1], buf_ref.shape[2], buf_ref.shape[3]
+    lane = out_ref.shape[3]
+    Lmax = bound_ref.shape[1]
+
+    words = buf_ref[0]                    # (G, nl, Wb) i32 lane-major
+    bound = bound_ref[0][:, :, None]      # (Lmax, G, 1)
+    base = base_ref[0][:, :, None]
+    planes = planes_ref[0]                # (8 planes, 8 words, G)
+    ns = ns_ref[0][None]                  # (1, G, nl) symbols per lane
+
+    lvec = jax.lax.broadcasted_iota(jnp.int32, (Lmax, 1, 1), 0) + 1
+    sh = (32 - lvec).astype(jnp.uint32)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (G, nl, Wb), 2)
+    kbit = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+    colL = jax.lax.broadcasted_iota(jnp.int32, (G, nl, 128), 2)
+    pb = jnp.broadcast_to(planes[:, :, :, None], (8, 8, G, nl))
+
+    hi0 = words[:, :, 0][None].astype(jnp.uint32)   # (1, G, nl)
+    lo0 = words[:, :, 1][None].astype(jnp.uint32)
+
+    def sym_step(k, carry):
+        hi, lo, navail, cursor = carry
+        active = k < ns
+        v = (hi >> sh).astype(jnp.int32)      # (Lmax, G, nl)
+        sel = v < bound
+        prev = pltpu.roll(sel.astype(jnp.int32), shift=1, axis=0)
+        ft = (sel & ((lvec == 1) | (prev == 0))).astype(jnp.int32)
+        l = jnp.sum(ft * lvec, axis=0, keepdims=True)      # (1, G, nl)
+        idx = jnp.sum(ft * (base + v), axis=0, keepdims=True)
+        idxw = idx >> 5
+        idxb = (idx & 31).astype(jnp.uint32)
+        wsel = jnp.zeros((8, G, nl), jnp.int32)
+        for j in range(8):
+            wsel = wsel + (idxw == j).astype(jnp.int32) * pb[:, j]
+        bits = ((wsel.astype(jnp.uint32) >> idxb) & 1).astype(jnp.int32)
+        sym = jnp.sum(bits << kbit, axis=0, keepdims=True)
+        sym = jnp.where(active, sym, 0)
+        l = jnp.where(active, l, 0)
+        lu = l.astype(jnp.uint32)
+        hi = jnp.where(l > 0, (hi << lu) | (lo >> (32 - lu)), hi)
+        lo = jnp.where(l > 0, lo << lu, lo)
+        navail = navail - l
+        need = navail < 32
+        # next word: one-hot select over the lane-MINOR word axis
+        nw = jnp.sum(jnp.where(wcol == cursor[0][:, :, None], words, 0),
+                     axis=2)[None].astype(jnp.uint32)
+        na = jnp.clip(navail, 1, 31).astype(jnp.uint32)
+        hi = jnp.where(need, hi | (nw >> na), hi)
+        lo = jnp.where(need, lo | (nw << (32 - na)), lo)
+        cursor = jnp.where(need, cursor + 1, cursor)
+        navail = jnp.where(need, navail + 32, navail)
+        return sym, (hi, lo, navail, cursor)
+
+    def block128(b, carry):
+        def inner(i, c2):
+            acc, st = c2
+            sym, st = sym_step(b * 128 + i, st)
+            acc = jnp.where(colL == i, sym[0][:, :, None], acc)
+            return acc, st
+        acc, carry = jax.lax.fori_loop(
+            0, 128, inner, (jnp.zeros((G, nl, 128), jnp.int32), carry))
+        out_ref[0, :, :, pl.ds(b * 128, 128)] = acc
+        return carry
+
+    na0 = jnp.full((1, G, nl), 64, jnp.int32)
+    cur0 = jnp.full((1, G, nl), 2, jnp.int32)
+    jax.lax.fori_loop(0, lane // 128, block128, (hi0, lo0, na0, cur0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lane", "max_len", "interpret"))
+def lane_decode_lanemajor(buf: jax.Array, lens_tables: jax.Array,
+                          lengths: jax.Array, lane: int = 8192,
+                          max_len: int = 31,
+                          interpret: bool = False) -> jax.Array:
+    """Canonical decode for few fat lanes — same contract as
+    ``lane_decode`` (buf (C, n_lanes, Wb) -> (C, n_lanes * lane) uint8)
+    with the kernel's big blocks laid out lane-major; see
+    ``_lane_decode_kernel_lm``. Requires lane % 128 == 0."""
+    from huffman_codec_tpu.ops.canonical import canonical_tables
+
+    C, n_lanes, Wb = buf.shape
+    if lane % 128:
+        raise ValueError("lane must divide by 128")
+    Cp = -(-C // _DG) * _DG
+    if Cp != C:
+        buf = jnp.pad(buf, ((0, Cp - C), (0, 0), (0, 0)))
+        lens_tables = jnp.pad(lens_tables, ((0, Cp - C), (0, 0)))
+        lengths = jnp.pad(lengths, (0, Cp - C))
+    lens = lens_tables.astype(jnp.int32)
+    first_code, start_index, canon_syms = canonical_tables(lens)
+    bl_count = jnp.diff(start_index, axis=1)
+    bound = (first_code[:, 1: max_len + 1]
+             + bl_count[:, 1: max_len + 1])
+    base = (start_index[:, 1: max_len + 1]
+            - first_code[:, 1: max_len + 1])
+    csb = (canon_syms[:, :, None] >> jnp.arange(8)[None, None, :]) & 1
+    planes = jnp.sum(
+        csb.reshape(Cp, 8, 32, 8).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, None, :, None],
+        axis=2).astype(jnp.int32)  # (Cp, 8 words, 8 planes)
+    lane_syms = jnp.clip(
+        lengths.astype(jnp.int32)[:, None]
+        - jnp.arange(n_lanes, dtype=jnp.int32)[None, :] * lane, 0, lane)
+
+    g = Cp // _DG
+    out = pl.pallas_call(
+        _lane_decode_kernel_lm,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, _DG, n_lanes, Wb), lambda c: (c, 0, 0, 0)),
+            pl.BlockSpec((1, max_len, _DG), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, max_len, _DG), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 8, 8, _DG), lambda c: (c, 0, 0, 0)),
+            pl.BlockSpec((1, _DG, n_lanes), lambda c: (c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _DG, n_lanes, lane),
+                               lambda c: (c, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, _DG, n_lanes, lane), jnp.int32),
+        interpret=interpret,
+    )(buf.astype(jnp.int32).reshape(g, _DG, n_lanes, Wb),
+      jnp.transpose(bound.reshape(g, _DG, max_len), (0, 2, 1)),
+      jnp.transpose(base.reshape(g, _DG, max_len), (0, 2, 1)),
+      jnp.transpose(planes.reshape(g, _DG, 8, 8), (0, 3, 2, 1)),
+      lane_syms.reshape(g, _DG, n_lanes))
+    # (g, G, nl, lane) is already symbol order per (chunk, lane)
+    return out.reshape(Cp, n_lanes * lane)[:C].astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # fused diff + MNP-5 RLE encode
 # ---------------------------------------------------------------------------
@@ -551,9 +703,16 @@ def _route(v, t, kept, rank, n_kept, R, capR):
         tt = jnp.where(arrive, in_t, tt)
         r = jnp.where(arrive, in_r - d, jnp.where(moved, 0, r))
         d <<= 1
-    pad = jnp.zeros((capR - R, 128), jnp.int32)
-    vv = jnp.concatenate([vv, pad], axis=0)
-    tt = jnp.concatenate([tt, pad], axis=0)
+    if capR > R:
+        pad = jnp.zeros((capR - R, 128), jnp.int32)
+        vv = jnp.concatenate([vv, pad], axis=0)
+        tt = jnp.concatenate([tt, pad], axis=0)
+    elif capR < R:
+        # expansion shape (out smaller than the padded stream): the dense
+        # prefix holds <= out_len kept elements (targets are in-range),
+        # so rows past capR are empty after compaction — truncate
+        vv = vv[:capR]
+        tt = tt[:capR]
     flat = _iota_flat(capR)
     live = flat < n_kept
     s = jnp.where(live, tt - flat, 0)
@@ -661,6 +820,90 @@ def rle_diff_encode_fused(chunks: jax.Array, lengths: jax.Array,
         interpret=interpret,
     )(lengths.astype(jnp.int32), carries.astype(jnp.int32), x)
     return out.reshape(C, cap).astype(jnp.uint8), tot[:, 0, 0]
+
+
+def _rle_expand_kernel(len_ref, carry_ref, x_ref, ic_ref, out_ref, *,
+                       use_diff: bool, R: int, outR: int):
+    """One grid step = one chunk: MNP-5 expansion (given the per-byte
+    count-byte classification from ops/rle.rle_classify) + optional diff
+    revert, entirely in VMEM. The XLA formulation round-trips the
+    (C, out_len) arrays through HBM for every one of its ~40 butterfly /
+    fill / prefix rounds (measured 55 ms per 16.8 MB decode step — the
+    decode-tail bottleneck); here the rounds are vreg traffic and HBM
+    sees only stream-in + bytes-out."""
+    c = pl.program_id(0)
+    length = len_ref[c]
+    carry = carry_ref[c]
+    x = x_ref[0]   # (R, 128) i32 stream bytes
+    ic = ic_ref[0]  # (R, 128) i32 count-byte flags
+    fi = _iota_flat(R)
+    valid = fi < length
+    is_cnt = (ic != 0) & valid
+    expand = jnp.where(is_cnt, x, jnp.where(valid, 1, 0))
+    off = _flat_prefix(expand, R, jnp.add, True)  # exclusive out offsets
+    total = jnp.sum(jnp.where(valid, expand, 0))
+    # count byte -> repeats of the previous stream byte (the 3rd literal)
+    prev = _flat_shift_right(x, 1, R, 0)
+    src = jnp.where(is_cnt, prev, x)
+    kept = expand > 0
+    rank = _flat_prefix(kept.astype(jnp.int32), R, jnp.add, True)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    v, have = _route(jnp.where(kept, src, 0), off, kept, rank, n_kept,
+                     R, outR)
+    # fill run bodies: a gap between routed sources is < RESET_CHUNK, so
+    # log2(258) = 9 nearest-left-source propagation rounds close them all
+    hv = have.astype(jnp.int32)
+    d = 1
+    while d < RESET_CHUNK:
+        sv = _flat_shift_right(v, d, outR, 0)
+        sh = _flat_shift_right(hv, d, outR, 0)
+        fill = (hv == 0) & (sh != 0)
+        v = jnp.where(fill, sv, v)
+        hv = hv | fill.astype(jnp.int32)
+        d <<= 1
+    fo = _iota_flat(outR)
+    v = jnp.where(fo < total, v, 0)
+    if use_diff:
+        # diff revert fused: running sum mod 256 seeded by the carry
+        v = (_flat_prefix(v, outR, jnp.add, False) + carry) & 255
+        v = jnp.where(fo < total, v, 0)
+    out_ref[0] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_len", "use_diff", "interpret"))
+def rle_expand(streams: jax.Array, is_cnt: jax.Array, lengths: jax.Array,
+               carries: jax.Array, out_len: int, use_diff: bool,
+               interpret: bool = False) -> jax.Array:
+    """Fused MNP-5 expansion (+ optional per-chunk diff revert) on TPU.
+
+    streams (C, n) uint8 (n % 128 == 0), is_cnt (C, n) bool (from
+    ops/rle.rle_classify), lengths (C,) valid stream byte counts, carries
+    (C,) diff seeds. Returns (C, out_len) uint8 — bit-exact with
+    ``rle_decode`` then ``diff_revert`` per chunk (out_len % 128 == 0).
+    """
+    C, n = streams.shape
+    if n % 128 or out_len % 128:
+        raise ValueError("stream length and out_len must divide by 128")
+    R, outR = n // 128, out_len // 128
+    x = streams.reshape(C, R, 128).astype(jnp.int32)
+    ic = is_cnt.reshape(C, R, 128).astype(jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_rle_expand_kernel, use_diff=use_diff, R=R,
+                          outR=outR),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((1, R, 128), lambda c, l, k: (c, 0, 0)),
+                pl.BlockSpec((1, R, 128), lambda c, l, k: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, outR, 128), lambda c, l, k: (c, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, outR, 128), jnp.int32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), carries.astype(jnp.int32), x, ic)
+    return out.reshape(C, out_len).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -160,6 +160,61 @@ def _fsm_step(state, c):
     return (new_match, new_count), is_cnt
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def rle_classify(data: jax.Array, length: jax.Array,
+                 block: int = 512) -> jax.Array:
+    """Per-byte count-byte classification of an MNP-5 stream — the three
+    FSM passes of the block decoder (see module docstring) without the
+    expansion. Returns bool[N]; position i is True iff data[i] is a
+    count byte. Split out so the TPU path can run the expansion as a
+    fused Pallas kernel (ops/pallas_kernels.rle_expand) on this mask."""
+    n = data.shape[0]
+    nb = -(-n // block)
+    padded = jnp.zeros((nb * block,), jnp.uint8).at[:n].set(data)
+    blocks = padded.reshape(nb, block)
+    blocks_t = blocks.T.astype(jnp.int32)  # time-major for lax.scan
+
+    # pass 1: evolve all 8 abstract entry states for every block in
+    # parallel. State layout is (8, nb) — STATE-major: with the 8-state
+    # axis minor, XLA:TPU pads it to 128 vector lanes and every scan
+    # step burns 16x the VPU work (measured: the decode tail's largest
+    # cost); block-minor arrays pad only nb -> roundup(nb, 128)
+    s = jnp.arange(_N_STATES, dtype=jnp.int32)[:, None]  # (8, 1)
+    b0 = blocks[:, 0].astype(jnp.int32)[None, :]
+    b1 = blocks[:, 1].astype(jnp.int32)[None, :]
+    count0, match0 = _entry_state(s, b0, b1)  # (8, nb) each
+
+    def step_all(state, c):  # c: (nb,) -> broadcast over the 8 state rows
+        new_state, _ = _fsm_step(state, c[None, :])
+        return new_state, None
+
+    (match_f, count_f), _ = jax.lax.scan(step_all, (match0, count0), blocks_t)
+
+    # exit state -> the NEXT block's abstract entry index
+    nxt0 = jnp.roll(blocks[:, 0], -1).astype(jnp.int32)[None, :]
+    nxt1 = jnp.roll(blocks[:, 1], -1).astype(jnp.int32)[None, :]
+    eq0 = (match_f == nxt0).astype(jnp.int32)
+    eq1 = (match_f == nxt1).astype(jnp.int32)
+    trans = jnp.where(count_f < 3, count_f * 2 + eq0, 6 + eq1).T  # (nb, 8)
+
+    # pass 2: tiny sequential scan resolving real entry states (nb steps)
+    def resolve(state_idx, t_row):
+        return t_row[state_idx], state_idx
+
+    _, entry = jax.lax.scan(resolve, jnp.int32(0), trans)  # (nb,)
+
+    # pass 3: rerun the FSM from the true entry states, classify every byte
+    count0r, match0r = _entry_state(entry, blocks[:, 0].astype(jnp.int32),
+                                    blocks[:, 1].astype(jnp.int32))
+
+    def step_real(state, c):
+        return _fsm_step(state, c)
+
+    _, is_cnt_t = jax.lax.scan(step_real, (match0r, count0r), blocks_t)
+    is_cnt = is_cnt_t.T.reshape(-1)[:n]
+    return is_cnt & (jnp.arange(n, dtype=jnp.int32) < length)
+
+
 @functools.partial(jax.jit, static_argnames=("out_len", "block"))
 def rle_decode(
     data: jax.Array,
@@ -182,51 +237,10 @@ def rle_decode(
         raise ValueError("rle_decode needs a static out_len bound")
     if n == 0:
         return jnp.zeros((out_len,), jnp.uint8), jnp.int32(0)
-    nb = -(-n // block)
-    padded = jnp.zeros((nb * block,), jnp.uint8).at[:n].set(data)
-    blocks = padded.reshape(nb, block)
-    blocks_t = blocks.T.astype(jnp.int32)  # time-major for lax.scan
-
-    # pass 1: evolve all 8 abstract entry states for every block in parallel
-    s = jnp.arange(_N_STATES, dtype=jnp.int32)[None, :]  # (1, 8)
-    b0 = blocks[:, 0].astype(jnp.int32)[:, None]
-    b1 = blocks[:, 1].astype(jnp.int32)[:, None]
-    count0, match0 = _entry_state(s, b0, b1)  # (nb, 8) each
-
-    def step_all(state, c):  # c: (nb,) -> broadcast over the 8 state lanes
-        new_state, _ = _fsm_step(state, c[:, None])
-        return new_state, None
-
-    (match_f, count_f), _ = jax.lax.scan(step_all, (match0, count0), blocks_t)
-
-    # exit state -> the NEXT block's abstract entry index
-    nxt0 = jnp.roll(blocks[:, 0], -1).astype(jnp.int32)[:, None]
-    nxt1 = jnp.roll(blocks[:, 1], -1).astype(jnp.int32)[:, None]
-    eq0 = (match_f == nxt0).astype(jnp.int32)
-    eq1 = (match_f == nxt1).astype(jnp.int32)
-    trans = jnp.where(count_f < 3, count_f * 2 + eq0, 6 + eq1)  # (nb, 8)
-
-    # pass 2: tiny sequential scan resolving real entry states (nb steps)
-    def resolve(state_idx, t_row):
-        return t_row[state_idx], state_idx
-
-    _, entry = jax.lax.scan(resolve, jnp.int32(0), trans)  # (nb,)
-
-    # pass 3: rerun the FSM from the true entry states, classify every byte
-    count0r, match0r = _entry_state(entry, blocks[:, 0].astype(jnp.int32),
-                                    blocks[:, 1].astype(jnp.int32))
-
-    def step_real(state, c):
-        return _fsm_step(state, c)
-
-    _, is_cnt_t = jax.lax.scan(step_real, (match0r, count0r), blocks_t)
-    is_cnt = is_cnt_t.T.reshape(-1)[:n]
-
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < length
-    is_cnt = is_cnt & valid
+    is_cnt = rle_classify(data, length, block)
     # a count byte of value v expands to v copies of match == data[i-1]: the
     # byte before a count byte is always the 3rd literal of its run
+    valid = jnp.arange(n, dtype=jnp.int32) < length
     expand = jnp.where(is_cnt, data.astype(jnp.int32), 1)
     expand = jnp.where(valid, expand, 0)
     off = jnp.cumsum(expand) - expand

@@ -178,3 +178,36 @@ def test_pallas_lane_pack_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp))
     np.testing.assert_array_equal(np.asarray(wx).astype(np.uint32),
                                   np.asarray(wp))
+
+
+def test_pallas_lane_decode_lanemajor_interpret():
+    """lane_decode_lanemajor (the fat-lane whole-file variant) must be
+    bit-exact with the XLA decoder on its target geometry: one chunk,
+    few fat lanes, re-batched across the chunk axis."""
+    from huffman_codec_tpu.ops.pallas_kernels import (
+        lane_decode_lanemajor, lane_words_cap)
+
+    lane = 2048  # fat-lane shape kept small for interpret-mode speed
+    data = RNG.integers(0, 200, 6 * lane, dtype=np.uint8)
+    data[3000:7000] = 9
+    n = 5 * lane + 321  # partial final lane
+    L = 8 * lane
+    mat = jnp.zeros((1, L), jnp.uint8).at[0, :data.size].set(
+        jnp.asarray(data))
+    lens = jnp.asarray(np.array([n], np.int32))
+    buf, lane_words, tables = canonical_encode_batch(mat, lens, lane=lane)
+    words = _to_wire(buf, lane_words)
+    ref = np.asarray(canonical_decode_batch(words, tables, lane_words, lens,
+                                            lane=lane, out_len=L))
+    Wl = lane_words_cap(lane)
+    got = np.asarray(lane_decode_lanemajor(
+        words.reshape(1, 8, Wl), tables, lens, lane=lane, interpret=True))
+    np.testing.assert_array_equal(got[0][:n], ref[0][:n])
+    # re-batched layout (2 pseudo-chunks x 4 lanes) decodes identically
+    lw2 = np.asarray(lane_words).reshape(2, 4)
+    t2 = np.tile(np.asarray(tables), (2, 1))
+    l2 = np.clip(n - np.arange(2) * (L // 2), 0, L // 2).astype(np.int32)
+    got2 = np.asarray(lane_decode_lanemajor(
+        words.reshape(2, 4, Wl), jnp.asarray(t2), jnp.asarray(l2),
+        lane=lane, interpret=True)).reshape(-1)
+    np.testing.assert_array_equal(got2[:n], ref[0][:n])

@@ -128,3 +128,54 @@ def test_fused_rle_run_ending_at_length():
     for ln in (1, 2, 3, 127, 128, 129, 258, 259, 260, 300):
         data = b"A" * ln
         _run_fused_case([(data, 0)], 512, True)
+
+
+# ---------------------------------------------------------------------------
+# fused RLE expansion (+ diff revert) kernel — the production TPU decode
+# tail (models/chunked.py:_decode_sharded_tail) vs the XLA formulation
+# ---------------------------------------------------------------------------
+
+from huffman_codec_tpu.ops.diff import diff_revert  # noqa: E402
+from huffman_codec_tpu.ops.pallas_kernels import rle_expand  # noqa: E402
+from huffman_codec_tpu.ops.rle import rle_classify, rle_decode  # noqa: E402
+
+
+def _expand_case(rows, n, out_len, use_diff):
+    from huffman_codec_tpu.pyref import rle as pyrle
+
+    C = len(rows)
+    streams = np.zeros((C, n), np.uint8)
+    lens = np.zeros((C,), np.int32)
+    carries = (np.arange(C) * 37 % 256).astype(np.uint8)
+    for i, row in enumerate(rows):
+        enc = pyrle.rle_encode(row)
+        assert len(enc) <= n
+        streams[i, : len(enc)] = np.frombuffer(enc, np.uint8)
+        lens[i] = len(enc)
+    sd, ld, cd = (jnp.asarray(streams), jnp.asarray(lens),
+                  jnp.asarray(carries))
+    ic = jax.vmap(lambda s, l: rle_classify(s, l))(sd, ld)
+    got = np.asarray(rle_expand(sd, ic, ld, cd, out_len, use_diff,
+                                interpret=True))
+    exp = np.asarray(jax.vmap(
+        lambda s, l: rle_decode(s, l, out_len=out_len)[0])(sd, ld))
+    if use_diff:
+        exp = np.asarray(jax.vmap(diff_revert)(jnp.asarray(exp), cd))
+    for i, row in enumerate(rows):
+        np.testing.assert_array_equal(got[i][: len(row)],
+                                      exp[i][: len(row)], err_msg=f"row {i}")
+
+
+@pytest.mark.parametrize("use_diff", [False, True])
+def test_rle_expand_edge_cases(use_diff):
+    rows = [r for r in EDGE_CASES if len(r)]
+    for i in range(0, len(rows), 4):
+        batch = rows[i : i + 4]
+        out_len = max(128, -(-max(len(r) for r in batch) // 128) * 128)
+        _expand_case(batch, 2 * out_len, out_len, use_diff)
+
+
+def test_rle_expand_long_runs_and_mixed():
+    data = (b"A" * 700 + bytes(RNG.integers(0, 3, 900, dtype=np.uint8))
+            + b"\xff" * 600)
+    _expand_case([data], 4096, 2304, True)
