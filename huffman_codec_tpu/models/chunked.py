@@ -386,6 +386,60 @@ def _repad_words(flat, lane_words, n_lanes: int, wb: int):
     return out.astype(jnp.uint32).reshape(C, nl * wb)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_diff", "width", "band_h", "bs", "cap", "entropy",
+                     "lane"),
+)
+def _encode_sharded_adapt_stage(bands, carries, use_diff: bool,
+                                width: int, band_h: int, bs: int, cap: int,
+                                entropy: str, lane: int):
+    """Sharded-ADAPTIVE encode: each chunk is a BAND of ``band_h`` full
+    matrix rows, adaptively block-RLE'd on its own (same tile rules as
+    the global transform, clamped at the band borders) and entropy-coded
+    with its own table. Bands are fully independent given their diff
+    carry byte, so the layout streams, restarts, and random-accesses
+    exactly like the stream-mode sharded layout — the v3 answer to
+    "adaptive at scale" (the reference's adaptive path is whole-matrix
+    only, transform.cpp:294-361). ``bands`` is (nb, band_h * width); all
+    bands here share the full height (the shorter tail band, if any, is
+    a separate call). Returns the _entropy_encode 4-tuple plus
+    (stream_lens, dirs (nb, nt), tile_lens (nb, nt))."""
+    if use_diff:
+        prev = jnp.concatenate([carries[:, None], bands[:, :-1]], axis=1)
+        work = (bands - prev).astype(jnp.uint8)
+    else:
+        work = bands
+    enc = jax.vmap(lambda m: adapt_encode_fixed(
+        m, width, band_h, bs, out_len=cap, with_header=False))
+    streams, totals, dirs, tile_lens = enc(work)
+    totals = totals.astype(jnp.int32)
+    out = _entropy_encode(streams, totals, entropy, lane)
+    return (*out, totals, dirs, tile_lens)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "band_h", "bs", "use_diff"),
+)
+def _decode_sharded_adapt_tail(streams, tile_lens, dirs, carries,
+                               width: int, band_h: int, bs: int,
+                               use_diff: bool):
+    """Inverse of the band stage: per-band manifest-parallel tile decode
+    + per-band diff revert seeded by the stored carries."""
+    dec = jax.vmap(lambda s, tl, d: adapt_decode_tiled(
+        s, tl, d, width, band_h, bs))
+    out = dec(streams, tile_lens, dirs)
+    if use_diff:
+        out = jax.vmap(lambda y, cin: diff_revert(y, cin))(out, carries)
+    return out.reshape(-1)
+
+
+def _band_tiles(width: int, band_h: int, bs: int) -> int:
+    """Tiles per band — the static manifest stride."""
+    return _cdiv(width, bs) * _cdiv(band_h, bs)
+
+
 @functools.partial(jax.jit, static_argnames=("out_len", "use_diff"))
 def _decode_stream_tail(stream, total, out_len: int, use_diff: bool):
     out, n = rle_decode(stream, total, out_len=out_len)
@@ -426,8 +480,13 @@ class TPUCodec:
         if self.config.layout not in ("global", "sharded"):
             raise ValueError(f"unknown layout {self.config.layout}")
         if self.config.layout == "sharded" and self.config.use_adapt:
-            raise ValueError("sharded layout supports stream mode only "
-                             "(adaptive tiles are already independent)")
+            # adaptive chunks are BANDS of full matrix rows
+            if self.config.chunk_size % self.config.width:
+                raise ValueError("sharded adaptive needs chunk_size "
+                                 "divisible by the matrix width")
+            if self.config.chunk_size // self.config.width < 8:
+                raise ValueError("sharded adaptive needs bands of >= 8 "
+                                 "rows (chunk_size / width)")
 
     # -- encode -------------------------------------------------------------
 
@@ -472,6 +531,8 @@ class TPUCodec:
                                    None, zlib.crc32(b""))
         cs = cfg.chunk_size
         sharded_meta = None
+        if cfg.layout == "sharded" and cfg.use_adapt:
+            return self._encode_sharded_adapt(data)
         if cfg.layout == "sharded":
             n_chunks = _cdiv(n, cs)
             arr = np.frombuffer(data, np.uint8)
@@ -535,6 +596,72 @@ class TPUCodec:
                                       tables, n_chunks, n, total,
                                       adapt_meta, sharded_meta, data,
                                       cfg.chunk_size, cfg.lane)
+
+    def _encode_sharded_adapt(self, data: bytes) -> bytes:
+        """Sharded-ADAPTIVE encode: the input matrix is cut into bands of
+        ``chunk_size / width`` full rows; each band is independently
+        adaptive-block-RLE'd (one globally searched block size) and
+        entropy-coded as its own chunk. Bands restart the RLE and carry
+        one diff byte — so the container streams, splices, and
+        random-accesses like the stream-mode sharded layout while keeping
+        the adaptive transform (the reference's is whole-matrix only)."""
+        cfg = self.config
+        n = len(data)
+        w = cfg.width
+        n_rows = n // w
+        cs = cfg.chunk_size
+        band_h = cs // w
+        if min(w, min(band_h, n_rows)) < 8:
+            raise ValueError("too small 2D data dimensions")  # exit 12
+        nb_full, h_tail = divmod(n_rows, band_h)
+        arr = np.frombuffer(data, np.uint8)
+        x = jnp.asarray(arr)
+        sx = diff_apply(x) if cfg.use_diff else x
+        # block-size search: candidates must fit a band; scored on the
+        # full matrix (same emission/entropy economics, one async wave)
+        from huffman_codec_tpu.ops.adapt import _adapt_score_v3
+
+        cands = candidate_sizes(w, min(band_h, n_rows))
+        scores = [_adapt_score_v3(sx, w, n_rows, b) for b in cands]
+        for s in scores:
+            s.copy_to_host_async()
+        bs = cands[int(np.argmin([int(s) for s in scores]))]
+        cap = _sharded_cap(cs, cfg.entropy, cfg.lane)
+        outs = []
+        if nb_full:
+            bands = arr[: nb_full * cs].reshape(nb_full, cs)
+            car = np.zeros((nb_full,), np.uint8)
+            car[1:] = bands[:-1, -1]
+            outs.append((_encode_sharded_adapt_stage(
+                jnp.asarray(bands), jnp.asarray(car), cfg.use_diff, w,
+                band_h, bs, cap, cfg.entropy, cfg.lane), car))
+        if h_tail:
+            tb = arr[nb_full * cs:][None, :]
+            car = np.asarray([arr[nb_full * cs - 1] if nb_full else 0],
+                             np.uint8)
+            outs.append((_encode_sharded_adapt_stage(
+                jnp.asarray(tb), jnp.asarray(car), cfg.use_diff, w,
+                h_tail, bs, cap, cfg.entropy, cfg.lane), car))
+        cols = []
+        for i in range(4):
+            vals = [np.asarray(o[0][i]) for o in outs
+                    if o[0][i] is not None]
+            cols.append(np.concatenate(vals) if vals else None)
+        payload_a, meta_a, tables, _ = cols
+        rle_lens = np.concatenate([np.asarray(o[0][4]) for o in outs])
+        dirs = np.concatenate(
+            [np.asarray(o[0][5]).reshape(-1) for o in outs])
+        tile_lens = np.concatenate(
+            [np.asarray(o[0][6]).reshape(-1) for o in outs])
+        carries = np.concatenate([o[1] for o in outs])
+        n_chunks = nb_full + (1 if h_tail else 0)
+        total = int(rle_lens.sum())
+        adapt_meta = (w, n_rows, bs, dirs, tile_lens, False)
+        sharded_meta = (rle_lens, carries)
+        return self._finish_container(cfg.entropy, payload_a, meta_a,
+                                      tables, n_chunks, n, total,
+                                      adapt_meta, sharded_meta, data, cs,
+                                      cfg.lane)
 
     def _dispatch_global(self, data: bytes, bs, whole: bool) -> dict:
         """Dispatch one global-layout candidate's device stage WITHOUT any
@@ -916,7 +1043,10 @@ class TPUCodec:
         cs = hdr["chunk_size"]
         n_chunks = hdr["n_chunks"]
         use_diff = bool(hdr["flags"] & FLAG_DIFF)
-        if hdr["flags"] & FLAG_SHARDED:
+        if hdr["flags"] & FLAG_SHARDED and hdr["flags"] & FLAG_ADAPT:
+            flat = self._decode_adapt_bands(blob, hdr, 0, hdr["n_chunks"])
+            out = flat[: hdr["orig"]]
+        elif hdr["flags"] & FLAG_SHARDED:
             parts = self.decode_steps(blob, hdr)
             # overlapped device->host wave: start every part's transfer
             # before touching any (a serial np.asarray per part measures
@@ -983,6 +1113,59 @@ class TPUCodec:
             raise ValueError("v3 container integrity check failed (crc32)")
         return result
 
+    def _decode_adapt_bands(self, blob: bytes, hdr: dict, c0: int,
+                            c1: int) -> np.ndarray:
+        """Decode bands [c0, c1) of a sharded-adaptive container: entropy
+        decode the covering chunks, manifest-parallel tile decode per
+        band, per-band diff revert — no band outside the range is
+        touched (the adaptive random-access primitive)."""
+        cs = hdr["chunk_size"]
+        w, bs = hdr["w"], hdr["bs"]
+        band_h = cs // w
+        n_rows = hdr["h"]
+        nb_full, h_tail = divmod(n_rows, band_h)
+        use_diff = bool(hdr["flags"] & FLAG_DIFF)
+        entropy = ("canonical" if hdr["entropy"] == ENTROPY_CANONICAL
+                   else "fgk")
+        cap = _sharded_cap(cs, entropy, hdr["lane"])
+        nt_full = _band_tiles(w, band_h, bs)
+        dirs, tl = hdr["dirs"], hdr["tile_lens"].astype(np.int32)
+        parts = []
+        for (b0, b1, bh, nt, toff) in self._band_groups(
+                c0, c1, nb_full, h_tail, nt_full, w, bs, band_h):
+            words = self._load_words_device(blob, hdr, b0, b1, b1 - b0)
+            sub = dict(hdr)
+            if hdr["entropy"] == ENTROPY_CANONICAL:
+                sub["tables"] = hdr["tables"][b0:b1]
+                sub["lane_words"] = hdr["lane_words"][b0:b1]
+            else:
+                words = jnp.asarray(self._load_words(blob, hdr, b0, b1))
+            rl = jnp.asarray(hdr["rle_lens"][b0:b1].astype(np.int32))
+            streams = _entropy_decode(words, rl, sub, cap)
+            d = dirs[toff: toff + (b1 - b0) * nt].reshape(b1 - b0, nt)
+            t = tl[toff: toff + (b1 - b0) * nt].reshape(b1 - b0, nt)
+            parts.append(_decode_sharded_adapt_tail(
+                streams, jnp.asarray(t), jnp.asarray(d),
+                jnp.asarray(hdr["carries"][b0:b1]), w, bh, bs, use_diff))
+        for p in parts:
+            p.copy_to_host_async()
+        return np.concatenate([np.asarray(p) for p in parts])
+
+    @staticmethod
+    def _band_groups(c0, c1, nb_full, h_tail, nt_full, w, bs, band_h):
+        """Split a band range into (start, end, band rows, tiles/band,
+        flat tile offset) groups of identical geometry (full bands, then
+        the shorter tail band)."""
+        groups = []
+        f1 = min(c1, nb_full)
+        if c0 < f1:
+            groups.append((c0, f1, band_h, nt_full, c0 * nt_full))
+        if h_tail and c1 > nb_full:
+            nt_tail = _band_tiles(w, h_tail, bs)
+            groups.append((nb_full, nb_full + 1, h_tail, nt_tail,
+                           nb_full * nt_full))
+        return groups
+
     def decode_range(self, blob: bytes, start: int, length: int) -> bytes:
         """Random-access decode of ``[start, start+length)`` — sharded
         layout only: touches just the covering chunks (entropy + RLE per
@@ -998,6 +1181,10 @@ class TPUCodec:
             return b""
         cs = hdr["chunk_size"]
         c0, c1 = start // cs, (start + length - 1) // cs + 1
+        if hdr["flags"] & FLAG_ADAPT:
+            flat = self._decode_adapt_bands(blob, hdr, c0, c1)
+            lo = start - c0 * cs
+            return flat[lo: lo + length].tobytes()
         words = self._load_words(blob, hdr, c0, c1)
         sub = dict(hdr)
         if hdr["entropy"] == ENTROPY_CANONICAL:

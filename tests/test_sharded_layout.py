@@ -63,6 +63,43 @@ def test_decode_range_requires_sharded():
         codec.decode_range(blob, 0, 10)
 
 
-def test_sharded_rejects_adapt():
-    with pytest.raises(ValueError):
-        TPUCodec(CodecConfig(use_adapt=True, layout="sharded"))
+def test_sharded_adapt_accepted_with_band_geometry():
+    # round-4: sharded adaptive is supported when chunks are bands of
+    # >= 8 full matrix rows (chunk_size % width == 0)
+    TPUCodec(CodecConfig(use_adapt=True, width=512, chunk_size=65536,
+                         layout="sharded"))
+
+
+# ---------------------------------------------------------------------------
+# sharded-ADAPTIVE layout (VERDICT r3 #7): bands of rows as independent
+# chunks — adaptive transform + streaming/random access in one container
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_bytes,cs", [(131072, 32768), (98304, 65536)])
+def test_sharded_adaptive_roundtrip_and_range(n_bytes, cs):
+    import pathlib
+    raw = (pathlib.Path("/root/reference/data")
+           / "hd01.raw").read_bytes()[:n_bytes]
+    codec = TPUCodec(CodecConfig(use_diff=True, use_adapt=True, width=512,
+                                 chunk_size=cs, layout="sharded", lane=512))
+    blob = codec.encode(raw)
+    assert codec.decode(blob) == raw
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        s = int(rng.integers(0, len(raw) - 900))
+        ln = int(rng.integers(1, 900))
+        assert codec.decode_range(blob, s, ln) == raw[s: s + ln]
+    # ranges pinned at band boundaries
+    assert codec.decode_range(blob, cs - 3, 6) == raw[cs - 3: cs + 3]
+    assert codec.decode_range(blob, 0, 1) == raw[:1]
+    assert (codec.decode_range(blob, len(raw) - 5, 5) == raw[-5:])
+
+
+def test_sharded_adaptive_validation():
+    with pytest.raises(ValueError):  # chunk_size not divisible by width
+        TPUCodec(CodecConfig(use_adapt=True, width=500, chunk_size=65536,
+                             layout="sharded"))
+    with pytest.raises(ValueError):  # bands shorter than 8 rows
+        TPUCodec(CodecConfig(use_adapt=True, width=16384, chunk_size=65536,
+                             layout="sharded"))
