@@ -47,10 +47,13 @@ FRAMEWORK OPTIONS:
                                  random-access decode (default: global)
   --stats                        print a JSON metrics line (bpc, MB/s,
                                  chunks) to stderr after the run
+  --dump-tables                  print the entropy coder's code tables /
+                                 final FGK tree to stderr (the analogue
+                                 of the reference's HuffTree::print)
 """
 
 _LONG = ["backend=", "format=", "chunk-size=", "threads=",
-         "entropy=", "lane=", "layout=", "stats"]
+         "entropy=", "lane=", "layout=", "stats", "dump-tables"]
 
 
 def _cerrh(msg: str) -> None:
@@ -74,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     lane = 512
     layout = "global"
     stats = False
+    dump_tables = False
 
     try:
         opts, _ = getopt.getopt(argv, ":cdmai:o:w:h", _LONG)
@@ -121,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
             layout = val
         elif opt == "--stats":
             stats = True
+        elif opt == "--dump-tables":
+            dump_tables = True
 
     if ifp is None:
         _cerrh("ERROR: no input file path provided\n")
@@ -145,6 +151,19 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"ERROR: {e.message}\n")
         return e.code
     dt = time.perf_counter() - t0
+
+    if dump_tables:
+        from huffman_codec_tpu.models.chunked import V3_MAGIC
+        from huffman_codec_tpu.utils.dump import dump_v1_tree, dump_v3_tables
+
+        blob = out if use_compr else data
+        try:
+            if blob[:6] == V3_MAGIC:
+                dump_v3_tables(blob)
+            else:
+                dump_v1_tree(blob)
+        except Exception as e:  # noqa: BLE001 — debug aid, never fatal
+            sys.stderr.write(f"dump-tables failed: {e}\n")
 
     if stats:
         from huffman_codec_tpu.utils.metrics import CodecMetrics

@@ -219,3 +219,27 @@ def test_stats_flag(tmp_path, sample):
     assert m["input_bytes"] == 2048 and m["n_chunks"] == 2
     # tiny input under compile latency can round to 0.000 MB/s
     assert 0 < m["bpc"] < 16 and m["encode_s"] > 0
+
+
+def test_dump_tables_v3_and_v1(tmp_path, capsys):
+    """--dump-tables analogue of HuffTree::print (huffman.cpp:231-266):
+    canonical per-chunk tables for v3, replayed FGK tree for v1."""
+    import io
+
+    from huffman_codec_tpu.models import CodecConfig, TPUCodec
+    from huffman_codec_tpu.pyref.codec import compress
+    from huffman_codec_tpu.utils.dump import dump_v1_tree, dump_v3_tables
+
+    raw = pathlib.Path("/root/reference/data/hd01.raw").read_bytes()[:16384]
+    blob3 = TPUCodec(CodecConfig(use_diff=True, chunk_size=16384,
+                                 lane=512, whole_file=False)).encode(raw)
+    buf = io.StringIO()
+    dump_v3_tables(blob3, out=buf)
+    s = buf.getvalue()
+    assert "chunk 0:" in s and "len" in s and "code" in s
+
+    blob1 = compress(raw[:2048], use_diff=True)
+    buf = io.StringIO()
+    dump_v1_tree(blob1, out=buf)
+    s = buf.getvalue()
+    assert "FGK tree" in s and "NYT" in s
