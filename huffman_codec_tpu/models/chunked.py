@@ -67,7 +67,6 @@ from huffman_codec_tpu.ops.adapt import (
 from huffman_codec_tpu.ops.canonical import (
     canonical_decode_batch,
     canonical_encode_batch,
-    canonical_encode_single,
 )
 from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch, max_code_bits
@@ -207,15 +206,7 @@ def _entropy_encode(chunks, lens, entropy, lane):
     """Uniform 4-tuple: canonical -> (lane_buf (C, n_lanes, W), lane_words
     (C, n_lanes), tables, None); fgk -> (words, bits, None, None)."""
     if entropy == "canonical":
-        C, L = chunks.shape
-        if C == 1 and L % (64 * lane) == 0 and L <= _SINGLE_MAX:
-            # whole-file profile: one table, lanes re-batched across the
-            # kernel chunk axis (full Pallas speed at single-chunk shapes)
-            buf, lw, tables = canonical_encode_single(chunks, lens,
-                                                      lane=lane)
-        else:
-            buf, lw, tables = canonical_encode_batch(chunks, lens,
-                                                     lane=lane)
+        buf, lw, tables = canonical_encode_batch(chunks, lens, lane=lane)
         return buf, lw, tables, None
     L = chunks.shape[1]
     words, bits = fgk_encode_batch(chunks, lens, _n_words_for(L, "fgk"))

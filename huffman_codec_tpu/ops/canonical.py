@@ -458,48 +458,6 @@ def canonical_encode_batch(data: jax.Array, lengths: jax.Array,
     return buf, lane_words, lens.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("lane",))
-def canonical_encode_single(data: jax.Array, lengths: jax.Array,
-                            lane: int = 2048):
-    """Whole-stream encode: (1, L) chunk under ONE table, executed as 8
-    pseudo-chunks that share it.
-
-    The single-chunk shape starves the Pallas kernels (grid of 1, VMEM
-    blocks of the whole stream, 1/8 sublane utilization); but a chunk's
-    lanes are independent given the table, so the lanes re-batch freely
-    across the kernel's chunk axis. Requires L % (64 * lane) == 0 (8
-    pseudo-chunks x the kernel's 8-lane row granularity). Same return
-    contract (and bit-identical wire layout) as ``canonical_encode_batch``
-    on the (1, L) shape — the container does not know which ran.
-    """
-    C, L = data.shape
-    if C != 1:
-        raise ValueError("canonical_encode_single takes a single chunk")
-    if L % (64 * lane):
-        raise ValueError("L must divide by 64 * lane")
-    sub = L // 8
-    data8 = data.reshape(8, sub)
-    len8 = jnp.clip(
-        lengths.astype(jnp.int32)[0]
-        - jnp.arange(8, dtype=jnp.int32) * sub, 0, sub)
-    counts = jnp.sum(histogram(data8, len8), axis=0, keepdims=True)
-    lens = build_lengths(counts)
-    codes = assign_codes(lens)
-    tables = jnp.broadcast_to(
-        codes | (lens.astype(jnp.uint32) << 26), (8, N_SYM))
-
-    from huffman_codec_tpu.ops.pallas_kernels import lane_pack, lane_pack_xla
-
-    use_pl = (jax.default_backend() != "cpu" and _use_pallas()
-              and lane % 128 == 0 and lane <= 4096)
-    pack = lane_pack if use_pl else lane_pack_xla
-    buf, bits = pack(data8, len8, tables, lane)
-    W = buf.shape[2]
-    return (buf.reshape(1, L // lane, W),
-            ((bits + 31) >> 5).reshape(1, L // lane),
-            lens.astype(jnp.uint8))
-
-
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
