@@ -124,6 +124,30 @@ def _start_fetch(st: dict) -> None:
             v.copy_to_host_async()
 
 
+def _fetch_dense_payloads(outs):
+    """For per-step canonical (lane_buf, lane_words) device pairs: strip
+    each step's padding ON DEVICE, then fetch manifests (wave 1) and the
+    used payload prefixes (wave 2, power-of-two buckets) — the padded
+    buffers (4-8x the payload) never cross the tunnel. Returns
+    (payload bytes, lane_words (C, n_lanes))."""
+    d = [(_strip_payload(p, m.astype(jnp.int32)), m) for p, m in outs]
+    for dd, m in d:
+        m.copy_to_host_async()
+    lws = [np.asarray(m) for _, m in d]
+    sliced = []
+    for (dd, _), lw in zip(d, lws):
+        used = int(lw.sum())
+        b = 1024
+        while b < used:
+            b <<= 1
+        s = dd[: min(b, dd.shape[0])]
+        s.copy_to_host_async()
+        sliced.append((s, used))
+    payload = b"".join(np.asarray(s)[:u].astype(">u4").tobytes()
+                       for s, u in sliced)
+    return payload, np.concatenate(lws)
+
+
 def _presplice_payload(st: dict) -> None:
     """Second fetch wave: once the manifest (wave 1) lands, slice the
     dense payload to the used prefix — rounded up to a power of two so
@@ -533,7 +557,15 @@ class TPUCodec:
             # behind step k's compute -> host I/O overlaps device work
             outs = [self.encode_chunk_range(arr, k * S, (k + 1) * S)
                     for k in range(n_steps)]
-            if n_steps == 1:
+            dense = cfg.entropy == "canonical"
+            if dense:
+                # padded lane buffers stay on device; fetch dense payload
+                payload_a, meta_a = _fetch_dense_payloads(
+                    [(o[0], o[1]) for o in outs])
+                tables = np.concatenate([np.asarray(o[2]) for o in outs])
+                rle_lens = np.concatenate([np.asarray(o[4]) for o in outs])
+                carries = np.concatenate([np.asarray(o[5]) for o in outs])
+            elif n_steps == 1:
                 payload_a, meta_a, tables, _, rle_lens, carries = outs[0]
             else:
                 cols = []
@@ -586,7 +618,8 @@ class TPUCodec:
         return self._finish_container(cfg.entropy, payload_a, meta_a,
                                       tables, n_chunks, n, total,
                                       adapt_meta, sharded_meta, data,
-                                      cfg.chunk_size, cfg.lane)
+                                      cfg.chunk_size, cfg.lane,
+                                      dense=isinstance(payload_a, bytes))
 
     def _encode_sharded_adapt(self, data: bytes) -> bytes:
         """Sharded-ADAPTIVE encode: the input matrix is cut into bands of
@@ -633,12 +666,17 @@ class TPUCodec:
             outs.append((_encode_sharded_adapt_stage(
                 jnp.asarray(tb), jnp.asarray(car), cfg.use_diff, w,
                 h_tail, bs, cap, cfg.entropy, cfg.lane), car))
-        cols = []
-        for i in range(4):
-            vals = [np.asarray(o[0][i]) for o in outs
-                    if o[0][i] is not None]
-            cols.append(np.concatenate(vals) if vals else None)
-        payload_a, meta_a, tables, _ = cols
+        if cfg.entropy == "canonical":
+            payload_a, meta_a = _fetch_dense_payloads(
+                [(o[0][0], o[0][1]) for o in outs])
+            tables = np.concatenate([np.asarray(o[0][2]) for o in outs])
+        else:
+            cols = []
+            for i in range(3):
+                vals = [np.asarray(o[0][i]) for o in outs
+                        if o[0][i] is not None]
+                cols.append(np.concatenate(vals) if vals else None)
+            payload_a, meta_a, tables = cols
         rle_lens = np.concatenate([np.asarray(o[0][4]) for o in outs])
         dirs = np.concatenate(
             [np.asarray(o[0][5]).reshape(-1) for o in outs])
@@ -652,7 +690,8 @@ class TPUCodec:
         return self._finish_container(cfg.entropy, payload_a, meta_a,
                                       tables, n_chunks, n, total,
                                       adapt_meta, sharded_meta, data, cs,
-                                      cfg.lane)
+                                      cfg.lane,
+                                      dense=isinstance(payload_a, bytes))
 
     def _dispatch_global(self, data: bytes, bs, whole: bool) -> dict:
         """Dispatch one global-layout candidate's device stage WITHOUT any
@@ -739,7 +778,10 @@ class TPUCodec:
             lw = np.asarray(meta_a)[:n_chunks]
             chunk_bits = (lw.sum(axis=1, dtype=np.int64) * 32).tolist()
             lanes_np = lw
-            if dense:
+            if dense and isinstance(payload_a, (bytes, bytearray)):
+                # already fetched via _fetch_dense_payloads
+                streams = [bytes(payload_a)]
+            elif dense:
                 # payload_a is the device-side dense word stream, already
                 # bucket-sliced by _presplice_payload with its transfer in
                 # flight; trim to the exact used prefix on host
