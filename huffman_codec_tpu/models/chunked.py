@@ -263,7 +263,8 @@ def _encode_adapt_stage(data, use_diff: bool, width: int, height: int,
 
     The v3 transformed stream is the concatenated tile data only — the
     manifest replaces the in-band v1 adaptive header."""
-    x = diff_apply(data) if use_diff else data
+    x = (jax.lax.optimization_barrier(diff_apply(data)) if use_diff
+         else data)  # barrier: see _encode_sharded_adapt_stage
     stream, tile_total, dirs, tile_lens = adapt_encode_fixed(
         x, width, height, bs, out_len=max_chunks * chunk_size,
         with_header=False,
@@ -423,6 +424,10 @@ def _encode_sharded_adapt_stage(bands, carries, use_diff: bool,
     if use_diff:
         prev = jnp.concatenate([carries[:, None], bands[:, :-1]], axis=1)
         work = (bands - prev).astype(jnp.uint8)
+        # materialize: without the barrier XLA re-fuses the diff into
+        # every tile-transpose/emission consumer (measured 4x the cost
+        # of the parts at 16 MB)
+        work = jax.lax.optimization_barrier(work)
     else:
         work = bands
     enc = jax.vmap(lambda m: adapt_encode_fixed(
