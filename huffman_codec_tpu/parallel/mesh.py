@@ -147,6 +147,74 @@ def distributed_encode_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "width", "band_h", "bs", "use_diff", "entropy",
+                     "lane", "axis"),
+)
+def distributed_adapt_encode_step(
+    data: jax.Array,
+    mesh: Mesh,
+    width: int,
+    band_h: int,
+    bs: int,
+    use_diff: bool = True,
+    entropy: str = "canonical",
+    lane: int = 512,
+    axis: str = "dp",
+):
+    """Sharded-ADAPTIVE encode over the mesh: bands of ``band_h`` full
+    matrix rows are the data-parallel unit (models/chunked.py
+    `_encode_sharded_adapt_stage` semantics — adaptive block RLE per
+    band, one global block size). The diff carry crosses shards with one
+    ``ppermute``; manifests gather over ICI. ``data`` must be
+    n_bands * band_h * width bytes with n_bands divisible by the mesh
+    size. Returns replicated (lane_buf, lane_words, tables, stream_lens,
+    dirs, tile_lens, carries)."""
+    from huffman_codec_tpu.ops.adapt import adapt_encode_fixed
+
+    cs = band_h * width
+    n_bands = data.shape[0] // cs
+    bands = data.reshape(n_bands, cs)
+    cap = sharded_cap(cs, entropy, lane)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=tuple(P(None, *(None,) * k)
+                        for k in (2, 1, 1, 0, 1, 1, 0)),
+        check_vma=False,
+    )
+    def step(local_bands):
+        last = local_bands[:, -1]
+        idx = jax.lax.axis_index(axis)
+        nd = jax.lax.axis_size(axis)
+        prev_last = jax.lax.ppermute(
+            last[-1], axis, [(i, (i + 1) % nd) for i in range(nd)])
+        first_carry = jnp.where(idx == 0, jnp.uint8(0), prev_last)
+        carries = jnp.concatenate([first_carry[None], last[:-1]])
+        if use_diff:
+            prev = jnp.concatenate(
+                [carries[:, None], local_bands[:, :-1]], axis=1)
+            work = (local_bands - prev).astype(jnp.uint8)
+            work = jax.lax.optimization_barrier(work)
+        else:
+            work = local_bands
+        enc = jax.vmap(lambda m: adapt_encode_fixed(
+            m, width, band_h, bs, out_len=cap, with_header=False))
+        streams, totals, dirs, tile_lens = enc(work)
+        totals = totals.astype(jnp.int32)
+        buf, lane_words, tables = canonical_encode_batch(
+            streams, totals, lane=lane)
+        return tuple(
+            jax.lax.all_gather(x, axis, tiled=True)
+            for x in (buf, lane_words, tables, totals, dirs, tile_lens,
+                      carries))
+
+    return step(bands)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "chunk_size", "use_diff", "entropy", "lane",
                      "axis"),
 )

@@ -1,5 +1,9 @@
 """Multi-host glue: chunk planning, recovery sets, bootstrap no-op path."""
 
+import pathlib
+
+import numpy as np
+
 from huffman_codec_tpu.parallel.distributed import (
     ChunkRange,
     init_distributed,
@@ -81,3 +85,32 @@ def test_elastic_redispatch_roundtrip():
                             zlib.crc32(raw))
     assert blob == codec.encode(raw), "recovered container != healthy one"
     assert codec.decode(blob) == raw
+
+
+def test_mesh_adaptive_encode_matches_single_chip():
+    """distributed_adapt_encode_step (bands data-parallel over the mesh,
+    diff carry via ppermute) must produce exactly the single-chip
+    sharded-adaptive stage's manifest columns."""
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.models.chunked import (
+        _encode_sharded_adapt_stage, _sharded_cap)
+    from huffman_codec_tpu.parallel.mesh import (
+        default_mesh, distributed_adapt_encode_step)
+
+    raw = pathlib.Path("/root/reference/data/hd01.raw").read_bytes()[:131072]
+    arr = np.frombuffer(raw, np.uint8)
+    w, band_h, bs, lane = 512, 32, 16, 64
+    cs = band_h * w
+    out = distributed_adapt_encode_step(
+        jnp.asarray(arr), default_mesh(), w, band_h, bs, True,
+        "canonical", lane)
+    bands = arr.reshape(-1, cs)
+    car = np.zeros((bands.shape[0],), np.uint8)
+    car[1:] = bands[:-1, -1]
+    ref = _encode_sharded_adapt_stage(
+        jnp.asarray(bands), jnp.asarray(car), True, w, band_h, bs,
+        _sharded_cap(cs, "canonical", lane), "canonical", lane)
+    expect = [ref[0], ref[1], ref[2], ref[4], ref[5], ref[6], car]
+    for got, exp in zip(out, expect):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
