@@ -22,6 +22,16 @@ from huffman_codec_tpu.models import CodecConfig, TPUCodec  # noqa: E402
 
 DATA = pathlib.Path("/root/reference/data")
 
+
+@pytest.fixture(autouse=True)
+def _clear_caches_per_cell():
+    """test_quality compiles 48 distinct heavy shapes in one process —
+    enough to cross the XLA:CPU compiled-executable crash threshold
+    (conftest.py) even with the per-module clear. Each cell's shapes are
+    unique anyway, so clearing per test costs no reuse."""
+    yield
+    jax.clear_caches()
+
 # reference compressed bytes measured on this machine (BASELINE.md §B);
 # columns: static, -m, -a, -a -m
 REF = {
