@@ -103,3 +103,46 @@ def test_sharded_adaptive_validation():
     with pytest.raises(ValueError):  # bands shorter than 8 rows
         TPUCodec(CodecConfig(use_adapt=True, width=16384, chunk_size=65536,
                              layout="sharded"))
+
+
+def test_stage_and_run_decode_steps_match_decode():
+    """The serving-split API (stage transfers / run compute) must produce
+    exactly decode()'s bytes — it is what the bench times."""
+    import jax
+
+    data = _data(4096)
+    codec = TPUCodec(CFG)
+    blob = codec.encode(data)
+    hdr, staged = codec.stage_decode_steps(blob)
+    parts = codec.run_decode_steps(hdr, staged)
+    flat = np.concatenate([np.asarray(p) for p in parts])[: hdr["orig"]]
+    assert flat.tobytes() == data
+    # staged steps are reusable (stateless compute)
+    parts2 = codec.run_decode_steps(hdr, staged)
+    jax.block_until_ready(parts2)
+    assert np.concatenate(
+        [np.asarray(p) for p in parts2])[: hdr["orig"]].tobytes() == data
+
+
+def test_v3_corrupt_containers_fail_loudly():
+    data = _data(4096)
+    codec = TPUCodec(CFG)
+    blob = bytearray(codec.encode(data))
+    # bad magic
+    b = bytes(blob); bad = b"XXXXXX" + b[6:]
+    with pytest.raises(ValueError):
+        codec.decode(bad)
+    # wrong container version
+    bad = b[:6] + bytes([99]) + b[7:]
+    with pytest.raises(ValueError):
+        codec.decode(bad)
+    # truncated mid-manifest
+    with pytest.raises(Exception):
+        codec.decode(b[:40])
+    # flipped byte at the payload start (always real codeword bits)
+    # -> wrong symbols -> crc32 integrity failure
+    hdr = codec._parse(b)
+    flipped = bytearray(b)
+    flipped[hdr["payload_off"]] ^= 0xFF
+    with pytest.raises(Exception):
+        codec.decode(bytes(flipped))
