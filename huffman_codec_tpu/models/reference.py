@@ -67,20 +67,22 @@ class V1Codec:
         body = np.asarray(words_to_bytes(words, max(1, nb)))[:nb].tobytes()
         return make_huff_header(total, cfg.use_diff, cfg.use_adapt) + body
 
-    def decode(self, blob: bytes, size_hint: int | None = None) -> bytes:
+    def decode(self, blob: bytes, size_hint: int | None = None,
+               force_device: bool = False) -> bytes:
         count, use_diff, use_adapt = parse_huff_header(blob)
         if count == 0:
             return b""
         if use_adapt:
-            # serial tile-boundary walk -> native runtime / pyref
-            try:
-                from huffman_codec_tpu.native import runtime
+            if not force_device:
+                # the native runtime walks tile boundaries fastest on
+                # host; the device path below is full-JAX parity
+                try:
+                    from huffman_codec_tpu.native import runtime
 
-                return runtime.v1_decompress(blob)
-            except Exception:
-                from huffman_codec_tpu.pyref.codec import decompress
-
-                return decompress(blob)
+                    return runtime.v1_decompress(blob)
+                except Exception:
+                    pass
+            return self._decode_adapt_device(blob, count, use_diff)
         payload = np.frombuffer(blob, np.uint8, offset=9)
         words = bytes_to_words(jnp.asarray(payload), _cdiv(len(payload), 4))
         if 8 * len(payload) < count:  # each symbol needs >= 1 bit (exit 9)
@@ -96,3 +98,35 @@ class V1Codec:
         if use_diff:
             out = np.asarray(diff_revert(jnp.asarray(out)))
         return out.tobytes()
+
+    def _decode_adapt_device(self, blob: bytes, count: int,
+                             use_diff: bool) -> bytes:
+        """Full-JAX v1 adaptive decode: FGK -> in-band adaptive header
+        parse -> serial tile-boundary walk (one lax.scan; the v1 format
+        interleaves boundaries with data, transform.cpp:330-361) ->
+        parallel per-tile RLE decode + scatter. Byte-exact with the
+        native runtime / pyref on every corpus case; slower than native
+        (the walk is sequential by the format's design)."""
+        from huffman_codec_tpu.formats import parse_adapt_rle_header
+        from huffman_codec_tpu.models.chunked import _decode_adapt_tail
+        from huffman_codec_tpu.ops.adapt import adapt_serial_tile_owner
+
+        payload = np.frombuffer(blob, np.uint8, offset=9)
+        if 8 * len(payload) < count:
+            raise ValueError("invalid Huffman coding file contents")
+        words = bytes_to_words(jnp.asarray(payload), _cdiv(len(payload), 4))
+        stream = np.asarray(
+            fgk_decode_chunk(words, jnp.int32(count), out_len=count))
+        w, h, bs, dirs, hdr_len = parse_adapt_rle_header(stream.tobytes())
+        nt = _cdiv(w, bs) * _cdiv(h, bs)
+        body = stream[hdr_len:count]
+        total = body.size
+        owner = np.asarray(adapt_serial_tile_owner(
+            jnp.asarray(body), jnp.int32(total), int(w), int(h), int(bs),
+            int(total)))
+        tl = np.bincount(owner[owner >= 0], minlength=nt).astype(np.int32)
+        flat = _decode_adapt_tail(
+            jnp.asarray(body), jnp.asarray(tl),
+            jnp.asarray(np.asarray(dirs[:nt], bool)), int(w), int(h),
+            int(bs), use_diff)
+        return np.asarray(flat)[: w * h].tobytes()

@@ -231,6 +231,53 @@ def adapt_group_tile_lens(
     return lens.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "bs", "cap"))
+def adapt_serial_tile_owner(stream: jax.Array, total: jax.Array,
+                            width: int, height: int, bs: int,
+                            cap: int) -> jax.Array:
+    """v1-parity tile-boundary discovery: the reference's sequential
+    block walk (transform.cpp:330-361) as ONE ``lax.scan`` over the tile
+    stream — v1 payloads interleave tile boundaries with the data, so
+    the walk is serial by the FORMAT's design; this keeps it on device
+    (the round-3 build delegated this mode to the native runtime).
+
+    Returns owner int32[cap]: the tile index each stream byte belongs
+    to (-1 past ``total``). The caller turns it into per-tile lengths
+    (one bincount) and decodes tiles in parallel (adapt_decode_tiled).
+    Scalar-carry FSM: one dynamic tile-size lookup per step (a scalar
+    dynamic-slice — NOT the batched scan-carried gather that bombs the
+    TPU lowering; see adapt_group_tile_lens)."""
+    sizes = jnp.asarray(_tile_geom_arrays(width, height, bs))
+    data = stream[:cap].astype(jnp.int32)
+
+    def step(carry, inp):
+        t_rel, produced, match, count = carry
+        byte, pos = inp
+        active = pos < total
+        is_cnt = count == 3
+        emit = jnp.where(is_cnt, byte, 1)
+        new_match = jnp.where(is_cnt, match, byte)
+        eq = (match == byte) & ~is_cnt
+        new_count = jnp.where(is_cnt, 0, jnp.where(eq, count + 1, 1))
+        produced2 = produced + emit
+        tsize = jax.lax.dynamic_index_in_dim(
+            sizes, jnp.clip(t_rel, 0, sizes.shape[0] - 1), keepdims=False)
+        done = produced2 >= tsize
+        out_t = jnp.where(active, t_rel, -1)
+        t_rel = jnp.where(active & done, t_rel + 1, t_rel)
+        produced = jnp.where(active, jnp.where(done, 0, produced2),
+                             produced)
+        match = jnp.where(active, jnp.where(done, -1, new_match), match)
+        count = jnp.where(active, jnp.where(done, 0, new_count), count)
+        return (t_rel, produced, match, count), out_t
+
+    z = jnp.int32(0)
+    _, owner = jax.lax.scan(
+        step, (z, z, z - 1, z),
+        (data, jnp.arange(cap, dtype=jnp.int32)))
+    return owner
+
+
 def tile_len_width(bs: int) -> int:
     """Manifest bytes per tile length: a tile's RLE stream is at most
     rle_max_encoded_len(bs*bs) bytes, so u16 suffices through bs=181."""

@@ -109,3 +109,23 @@ def test_entry_compiles():
     # (words, bits, tables, lane_bits, rle_lens, carries)
     assert int(out[4].sum()) > 0  # transformed total
     assert int(out[1].sum()) > 0  # packed bits
+
+
+@pytest.mark.parametrize("args", [("-a",), ("-a", "-m")], ids=["a", "am"])
+def test_v1_adaptive_DEVICE_decode_of_oracle_blob(oracle, tmp_path, args):
+    """Full-JAX v1 adaptive decode (serial tile walk as one lax.scan +
+    parallel tile expansion) must decode the C++ binary's own output —
+    the round-3 gap where this mode delegated to the native runtime."""
+    import subprocess
+
+    data = _image()
+    inp = tmp_path / "in.raw"
+    ref = tmp_path / "ref.bin"
+    inp.write_bytes(data)
+    r = subprocess.run(
+        [str(oracle), "-c", *args, "-w", "64", "-i", str(inp), "-o",
+         str(ref)], capture_output=True)
+    assert r.returncode == 0
+    cfg = CodecConfig(use_diff="-m" in args, use_adapt=True, width=64)
+    out = V1Codec(cfg).decode(ref.read_bytes(), force_device=True)
+    assert out == data
