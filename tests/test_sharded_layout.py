@@ -146,3 +146,17 @@ def test_v3_corrupt_containers_fail_loudly():
     flipped[hdr["payload_off"]] ^= 0xFF
     with pytest.raises(Exception):
         codec.decode(bytes(flipped))
+
+
+def test_sharded_adaptive_short_tail_band():
+    """hd01extra shape class: rows not divisible by the band height — the
+    tail band (5 rows here) tiles at its own clamped geometry."""
+    import pathlib
+    raw = (pathlib.Path("/root/reference/data/hd01extra.raw")
+           .read_bytes()[: 133 * 512])
+    codec = TPUCodec(CodecConfig(use_diff=True, use_adapt=True, width=512,
+                                 chunk_size=65536, layout="sharded",
+                                 lane=512))
+    blob = codec.encode(raw)
+    assert codec.decode(blob) == raw
+    assert codec.decode_range(blob, 65530, 20) == raw[65530:65550]
