@@ -217,6 +217,8 @@ def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
         _decode_sharded_tail, _entropy_decode, _sharded_cap)
     from huffman_codec_tpu.utils.profiling import device_time
 
+    from huffman_codec_tpu.models.chunked import _repad_words
+
     out = {}
     t0 = _time.perf_counter()
     hdr = codec._parse(blob)
@@ -226,13 +228,18 @@ def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
     sub = dict(hdr)
     sub["tables"] = hdr["tables"][:S]
     sub["lane_words"] = hdr["lane_words"][:S]
+    cap = _sharded_cap(cs, "canonical", lane)
     t0 = _time.perf_counter()
-    wd = codec._load_words_device(blob, hdr, 0, S, S)
+    fd, lwd = codec._stage_words(blob, hdr, 0, S, S)
     rld = jax.device_put(jnp.asarray(rl))
     card = jax.device_put(jnp.asarray(car))
-    jax.block_until_ready((wd, rld, card))
-    out["load+h2d+repad"] = _time.perf_counter() - t0
-    cap = _sharded_cap(cs, "canonical", lane)
+    jax.block_until_ready((fd, lwd, rld, card))
+    out["stage_h2d"] = _time.perf_counter() - t0
+    nl = cap // lane
+    out["repad"] = device_time(
+        lambda f_, l_: _repad_words(f_, l_, nl, hdr["wl_bucket"]),
+        (fd, lwd), reps_hi=4, label="repad", quiet=True)
+    wd = _repad_words(fd, lwd, nl, hdr["wl_bucket"])
     out["entropy_decode"] = device_time(
         lambda w_, r_: _entropy_decode(w_, r_, sub, cap), (wd, rld),
         reps_hi=4, label="entropy_decode", quiet=True)
@@ -243,9 +250,9 @@ def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
         (chunks_rle, rld, card), reps_hi=4, label="rle_diff_tail",
         quiet=True)
     # device-resident decode throughput: the kernel path alone, the
-    # number comparable to the headline device encode (the end-to-end
-    # figure is capped by this rig's ~50 MB/s host<->device tunnel)
-    dev_s = out["entropy_decode"] + out["rle_diff_tail"]
+    # number comparable to the headline device encode (end-to-end is
+    # capped by the tunnel's ~30-45 MB/s high-entropy transfer path)
+    dev_s = out["repad"] + out["entropy_decode"] + out["rle_diff_tail"]
     out["device_decode_mbps"] = (S * cs) / dev_s / 1e6
     return {k: round(v * 1e3, 3) if not k.endswith("mbps") else round(v, 1)
             for k, v in out.items()}
