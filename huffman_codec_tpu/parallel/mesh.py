@@ -147,6 +147,51 @@ def distributed_encode_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "width", "band_h", "use_diff", "axis"),
+)
+def distributed_adapt_search(
+    data: jax.Array,
+    mesh: Mesh,
+    width: int,
+    band_h: int,
+    use_diff: bool = True,
+    axis: str = "dp",
+):
+    """Distributed block-size search: every shard scores each candidate
+    on ITS bands (closed-form emission sizes + local emission-histogram
+    entropy estimate), local scores ``psum`` over the mesh axis (the
+    SURVEY §2.8 "size reduction for block-size argmin" collective), and
+    the replicated argmin picks the block size — first minimum wins, the
+    reference's smaller-bs tie rule. Returns int32[n_candidates] summed
+    scores; pair with ``candidate_sizes(width, band_h)``."""
+    from huffman_codec_tpu.ops.adapt import _adapt_score_v3, candidate_sizes
+    from huffman_codec_tpu.ops.diff import diff_apply
+
+    cs = band_h * width
+    n_bands = data.shape[0] // cs
+    bands = data.reshape(n_bands, cs)
+    cands = candidate_sizes(width, band_h)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    def step(local_bands):
+        local = local_bands.reshape(-1)
+        x = diff_apply(local) if use_diff else local
+        rows = local.shape[0] // width
+        scores = jnp.stack(
+            [_adapt_score_v3(x, width, rows, b) for b in cands])
+        return jax.lax.psum(scores, axis)
+
+    return step(bands)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "width", "band_h", "bs", "use_diff", "entropy",
                      "lane", "axis"),
 )

@@ -114,3 +114,25 @@ def test_mesh_adaptive_encode_matches_single_chip():
     expect = [ref[0], ref[1], ref[2], ref[4], ref[5], ref[6], car]
     for got, exp in zip(out, expect):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_mesh_adaptive_search_psum():
+    """Distributed block-size search: per-shard candidate scores psum
+    over the mesh; the argmin must be stable and scores positive."""
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.ops.adapt import candidate_sizes
+    from huffman_codec_tpu.parallel.mesh import (
+        default_mesh, distributed_adapt_search)
+
+    raw = pathlib.Path("/root/reference/data/hd01.raw").read_bytes()[:131072]
+    arr = np.frombuffer(raw, np.uint8)
+    scores = np.asarray(distributed_adapt_search(
+        jnp.asarray(arr), default_mesh(), 512, 32, True))
+    cands = candidate_sizes(512, 32)
+    assert scores.shape == (len(cands),)
+    assert (scores > 0).all()
+    # two runs agree (deterministic collective)
+    scores2 = np.asarray(distributed_adapt_search(
+        jnp.asarray(arr), default_mesh(), 512, 32, True))
+    np.testing.assert_array_equal(scores, scores2)
