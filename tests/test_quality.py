@@ -23,14 +23,20 @@ from huffman_codec_tpu.models import CodecConfig, TPUCodec  # noqa: E402
 DATA = pathlib.Path("/root/reference/data")
 
 
+_CELLS_SINCE_CLEAR = [0]
+
+
 @pytest.fixture(autouse=True)
-def _clear_caches_per_cell():
+def _clear_caches_every_8_cells():
     """test_quality compiles 48 distinct heavy shapes in one process —
     enough to cross the XLA:CPU compiled-executable crash threshold
-    (conftest.py) even with the per-module clear. Each cell's shapes are
-    unique anyway, so clearing per test costs no reuse."""
+    (conftest.py) even with the per-module clear. Clearing every 8 cells
+    keeps the executable count well under the threshold without paying
+    full recompiles on shared subroutines for every cell."""
     yield
-    jax.clear_caches()
+    _CELLS_SINCE_CLEAR[0] += 1
+    if _CELLS_SINCE_CLEAR[0] % 8 == 0:
+        jax.clear_caches()
 
 # reference compressed bytes measured on this machine (BASELINE.md §B);
 # columns: static, -m, -a, -a -m
