@@ -160,3 +160,28 @@ def test_sharded_adaptive_short_tail_band():
     blob = codec.encode(raw)
     assert codec.decode(blob) == raw
     assert codec.decode_range(blob, 65530, 20) == raw[65530:65550]
+
+
+def test_v3_mutation_fuzz_never_silently_corrupts():
+    """Single-byte mutations over the whole container: decode must either
+    raise (any controlled exception) or return the original bytes (the
+    mutation landed in dead padding) — never silently corrupted output.
+    The crc32 integrity check is what makes this hold for payload hits."""
+    data = _data(2048)
+    codec = TPUCodec(CFG)
+    blob = bytearray(codec.encode(data))
+    rng = np.random.default_rng(23)
+    checked = 0
+    for _ in range(40):
+        pos = int(rng.integers(0, len(blob)))
+        old = blob[pos]
+        blob[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = codec.decode(bytes(blob))
+            assert out == data, f"silent corruption at byte {pos}"
+        except Exception:
+            pass  # loud failure is the contract
+        finally:
+            blob[pos] = old
+        checked += 1
+    assert checked == 40
