@@ -276,6 +276,10 @@ def main() -> int:
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--skip-stages", action="store_true",
                     help="skip the per-stage device breakdown")
+    ap.add_argument("--budget-seconds", type=float, default=900.0,
+                    help="skip remaining optional probes once elapsed "
+                         "wall time exceeds this (cold-compile insurance: "
+                         "the headline JSON must always be printed)")
     args = ap.parse_args()
 
     import jax
@@ -454,13 +458,21 @@ def main() -> int:
         detail["container_error"] = f"{type(e).__name__}: {e}"
         note(f"container/decode phase failed: {e!r}")
 
-    if not args.skip_stages:
+    def over_budget() -> bool:
+        if time.perf_counter() - t_start <= args.budget_seconds:
+            return False
+        note(f"budget {args.budget_seconds:.0f}s exceeded — skipping "
+             f"remaining optional probes")
+        return True
+
+    if not args.skip_stages and not over_budget():
         try:
             detail["adaptive"] = _adaptive_probe()
             note(f"adaptive (-a -m) probe: {detail['adaptive']}")
         except Exception as e:  # noqa: BLE001 — best-effort
             detail["adaptive"] = f"failed: {type(e).__name__}"
             note(f"adaptive probe failed: {e!r}")
+    if not args.skip_stages and not over_budget():
         try:
             detail["adaptive_stream"] = _adaptive_stream_probe()
             note(f"adaptive streaming probe: {detail['adaptive_stream']}")
