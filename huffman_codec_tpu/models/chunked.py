@@ -973,6 +973,55 @@ class TPUCodec:
              if hdr["flags"] & FLAG_SHARDED else cs)
         return _repad_words(fd, lw, L // hdr["lane"], hdr["wl_bucket"])
 
+    @staticmethod
+    def _use_pallas_repad(hdr) -> bool:
+        """Gate for the Pallas repad kernel (ops/pallas_kernels.repad_words)
+        vs the XLA spread: shape/domain constraints + TPU backend."""
+        from huffman_codec_tpu.ops.canonical import _use_pallas
+
+        cs = hdr["chunk_size"]
+        L = (_sharded_cap(cs, "canonical", hdr["lane"])
+             if hdr["flags"] & FLAG_SHARDED else cs)
+        nl = L // hdr["lane"]
+        wb = hdr["wl_bucket"]
+        return (jax.default_backend() != "cpu" and _use_pallas()
+                and (nl * wb) % 128 == 0 and nl * wb <= (1 << 18)
+                and nl <= 4096)
+
+    def _stage_words_aligned(self, blob, hdr, c0, c1, rows):
+        """Aligned staging for the Pallas repad kernel: each chunk's
+        dense word stream lands at a 128-word-aligned row of one (N, 128)
+        buffer (the kernel DMAs per-chunk slices at dynamic row offsets).
+        Alignment padding is < 512 B/chunk — the transfer stays ~dense.
+        Returns (dense2d, aoff_rows, wc, lane_words) device arrays."""
+        cs = hdr["chunk_size"]
+        L = (_sharded_cap(cs, "canonical", hdr["lane"])
+             if hdr["flags"] & FLAG_SHARDED else cs)
+        n_lanes = L // hdr["lane"]
+        Wb = hdr["wl_bucket"]
+        offs = hdr["chunk_offs"]
+        lw = np.zeros((rows, n_lanes), np.int32)
+        lw[: c1 - c0] = hdr["lane_words"][c0:c1]
+        wc = lw.sum(axis=1)
+        rows_per = (wc + 127) // 128
+        aoff = np.zeros(rows, np.int64)
+        aoff[1:] = np.cumsum(rows_per)[:-1]
+        swr = max(1, n_lanes * Wb // 128)
+        nb = 128
+        while nb < int(aoff[-1] + rows_per[-1]) + swr:
+            nb <<= 1
+        dense = np.zeros(nb * 128, np.uint32)
+        base = hdr["payload_off"]
+        for k in range(c1 - c0):
+            o0 = base + int(offs[c0 + k])
+            nw = int(wc[k])
+            if nw:
+                dense[int(aoff[k]) * 128: int(aoff[k]) * 128 + nw] = (
+                    np.frombuffer(blob, ">u4", nw, o0))
+        return (jnp.asarray(dense.reshape(nb, 128)),
+                jnp.asarray(aoff.astype(np.int32)), jnp.asarray(wc),
+                jnp.asarray(lw))
+
     def _stage_words(self, blob, hdr, c0, c1, rows):
         """The transfer half of ``_load_words_device``: the contiguous
         payload slice as dense big-endian-decoded u32 words (padded to a
@@ -1021,8 +1070,13 @@ class TPUCodec:
             car = hdr["carries"][c0:c1]
             sub = dict(hdr)
             if hdr["entropy"] == ENTROPY_CANONICAL:
-                st["flat"], st["lw"] = self._stage_words(blob, hdr, c0, c1,
-                                                         S)
+                if self._use_pallas_repad(hdr):
+                    (st["dense2d"], st["aoff"], st["wc"],
+                     st["lw"]) = self._stage_words_aligned(blob, hdr, c0,
+                                                           c1, S)
+                else:
+                    st["flat"], st["lw"] = self._stage_words(blob, hdr,
+                                                             c0, c1, S)
                 sub["tables"] = hdr["tables"][c0:c1]
                 sub["lane_words"] = hdr["lane_words"][c0:c1]
             else:
@@ -1055,7 +1109,12 @@ class TPUCodec:
         n_lanes = L // hdr["lane"]
         parts = []
         for st in staged:
-            if "flat" in st:
+            if "dense2d" in st:
+                from huffman_codec_tpu.ops.pallas_kernels import repad_words
+
+                w = repad_words(st["dense2d"], st["aoff"], st["wc"],
+                                st["lw"], n_lanes, hdr["wl_bucket"])
+            elif "flat" in st:
                 w = _repad_words(st["flat"], st["lw"], n_lanes,
                                  hdr["wl_bucket"])
             else:

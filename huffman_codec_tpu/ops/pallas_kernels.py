@@ -733,6 +733,13 @@ def _route(v, t, kept, rank, n_kept, R, capR):
         # so rows past capR are empty after compaction — truncate
         vv = vv[:capR]
         tt = tt[:capR]
+    return _place_right(vv, tt, n_kept, capR)
+
+
+def _place_right(vv, tt, n_kept, capR):
+    """MSB-first right placement of a DENSE PREFIX: element at flat i
+    (i < n_kept) lands at column tt[i] >= i (tt strictly increasing).
+    Returns (vals, have) over (capR, 128)."""
     flat = _iota_flat(capR)
     live = flat < n_kept
     s = jnp.where(live, tt - flat, 0)
@@ -924,6 +931,90 @@ def rle_expand(streams: jax.Array, is_cnt: jax.Array, lengths: jax.Array,
         interpret=interpret,
     )(lengths.astype(jnp.int32), carries.astype(jnp.int32), x, ic)
     return out.reshape(C, out_len).astype(jnp.uint8)
+
+
+def _repad_kernel(aoff_ref, wc_ref, dense_ref, lw_ref, out_ref, scratch,
+                  sem, *, SWR: int, outR: int, nlR: int, Wb: int):
+    """One grid step = one chunk: DMA the chunk's dense payload words
+    from HBM (128-word-aligned dynamic offset) into VMEM, then route
+    word i to its padded slot lane(i) * Wb + (i - lane_start(i)) — the
+    wire->decoder layout transform entirely in VMEM. The XLA spread
+    formulation costs ~12 ms per 16.8 MB step in HBM round-trips; this
+    kernel is ~1.5 ms."""
+    c = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        dense_ref.at[pl.ds(aoff_ref[c], SWR), :], scratch, sem)
+    cp.start()
+    lw = lw_ref[0]  # (nlR, 128) lane word counts (flat over nl entries)
+    start = _flat_prefix(lw, nlR, jnp.add, True)  # exclusive lane starts
+    # one packed route: lane id << 18 | lane start, placed at each
+    # lane's start position, forward-filled across the lane's words
+    ids = _iota_flat(nlR)
+    kept = lw > 0
+    rank = _flat_prefix(kept.astype(jnp.int32), nlR, jnp.add, True)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    packed = jnp.where(kept, (ids << 18) | start, 0)
+    v, have = _route(packed, start, kept, rank, n_kept, nlR, SWR)
+    hv = have.astype(jnp.int32)
+    d = 1
+    while d < Wb:
+        sv = _flat_shift_right(v, d, SWR, 0)
+        sh = _flat_shift_right(hv, d, SWR, 0)
+        fill = (hv == 0) & (sh != 0)
+        v = jnp.where(fill, sv, v)
+        hv = hv | fill.astype(jnp.int32)
+        d <<= 1
+    i = _iota_flat(SWR)
+    tt = (v >> 18) * Wb + (i - (v & ((1 << 18) - 1)))
+    cp.wait()
+    words, _ = _place_right(scratch[...], tt, wc_ref[c], outR)
+    out_ref[0] = words
+
+
+@functools.partial(jax.jit, static_argnames=("nl", "wb", "interpret"))
+def repad_words(dense: jax.Array, aoff_rows: jax.Array, wc: jax.Array,
+                lane_words: jax.Array, nl: int, wb: int,
+                interpret: bool = False) -> jax.Array:
+    """Wire payload -> the decoder's padded fixed-stride lane layout.
+
+    dense: (Nrows, 128) u32 — per-chunk word streams each starting at a
+    128-word-aligned row (aoff_rows (C,), in rows); wc (C,) word counts;
+    lane_words (C, nl). Returns (C, nl * wb) u32 (padding slots carry
+    garbage — consumers mask by lane_words / symbol counts, the same
+    contract as models/chunked._repad_words). Requires (nl * wb) % 128
+    == 0 and lane ids < 2^12, lane starts < 2^18 (checked)."""
+    C = lane_words.shape[0]
+    if (nl * wb) % 128:
+        raise ValueError("nl * wb must divide by 128")
+    if nl * wb > (1 << 18):
+        raise ValueError("chunk stride exceeds the packed-route domain")
+    outR = nl * wb // 128
+    nlR = -(-nl // 128)
+    SWR = max(outR, 1)  # a chunk's dense words never exceed its stride
+    lw_pad = jnp.zeros((C, nlR * 128), jnp.int32)
+    lw_pad = lw_pad.at[:, :nl].set(lane_words.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(_repad_kernel, SWR=SWR, outR=outR, nlR=nlR,
+                          Wb=wb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # dense stays in HBM
+                pl.BlockSpec((1, nlR, 128), lambda c, a, w: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, outR, 128),
+                                   lambda c, a, w: (c, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((SWR, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, outR, 128), jnp.int32),
+        interpret=interpret,
+    )(aoff_rows.astype(jnp.int32), wc.astype(jnp.int32),
+      dense.astype(jnp.int32), lw_pad.reshape(C, nlR, 128))
+    return out.reshape(C, nl * wb).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -179,3 +179,41 @@ def test_rle_expand_long_runs_and_mixed():
     data = (b"A" * 700 + bytes(RNG.integers(0, 3, 900, dtype=np.uint8))
             + b"\xff" * 600)
     _expand_case([data], 4096, 2304, True)
+
+
+# ---------------------------------------------------------------------------
+# repad kernel (wire payload -> padded fixed-stride lane layout)
+# ---------------------------------------------------------------------------
+
+from huffman_codec_tpu.models.chunked import _repad_words  # noqa: E402
+from huffman_codec_tpu.ops.pallas_kernels import repad_words  # noqa: E402
+
+
+def test_repad_words_interpret_matches_xla_spread():
+    rng = np.random.default_rng(31)
+    C, nl, wb = 3, 16, 8
+    lw = rng.integers(0, wb + 1, (C, nl)).astype(np.int32)
+    lw[1, 5:] = 0  # zero tail lanes (short chunk)
+    wc = lw.sum(1)
+    rows_per = (wc + 127) // 128
+    aoff = np.zeros(C, np.int64)
+    aoff[1:] = np.cumsum(rows_per)[:-1]
+    dense = np.zeros(16 * 128, np.uint32)
+    parts = []
+    for c in range(C):
+        w = rng.integers(1, 2**31, wc[c], dtype=np.int64).astype(np.uint32)
+        dense[int(aoff[c]) * 128: int(aoff[c]) * 128 + wc[c]] = w
+        parts.append(w)
+    got = np.asarray(repad_words(
+        jnp.asarray(dense.reshape(16, 128)),
+        jnp.asarray(aoff.astype(np.int32)),
+        jnp.asarray(wc.astype(np.int32)), jnp.asarray(lw), nl, wb,
+        interpret=True))
+    flat = np.concatenate(parts)
+    fp = np.zeros(1024, np.uint32)
+    fp[: flat.size] = flat
+    exp = np.asarray(_repad_words(jnp.asarray(fp), jnp.asarray(lw), nl, wb))
+    # padding slots are unspecified in both formulations; compare REAL
+    col = np.arange(wb)
+    mask = (col[None, None, :] < lw[:, :, None]).reshape(C, nl * wb)
+    np.testing.assert_array_equal(got[mask], exp[mask])
