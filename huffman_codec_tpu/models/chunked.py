@@ -964,13 +964,20 @@ class TPUCodec:
         """Canonical word loader with the re-pad ON DEVICE: only the
         contiguous payload range (plus the tiny lane_words manifest)
         crosses the host->device link — ~4x less transfer than shipping
-        the padded buffer, and the padded layout is built by one XLA
-        gather instead of host numpy. ``rows`` >= c1-c0 zero-pads the
-        chunk axis to the fixed step grid."""
-        fd, lw = self._stage_words(blob, hdr, c0, c1, rows)
+        the padded buffer — and the padded layout is built by the Pallas
+        repad kernel on TPU (butterfly spreads on XLA elsewhere).
+        ``rows`` >= c1-c0 zero-pads the chunk axis to the fixed grid."""
         cs = hdr["chunk_size"]
         L = (_sharded_cap(cs, "canonical", hdr["lane"])
              if hdr["flags"] & FLAG_SHARDED else cs)
+        if self._use_pallas_repad(hdr):
+            from huffman_codec_tpu.ops.pallas_kernels import repad_words
+
+            d2, aoff, wc, lw = self._stage_words_aligned(blob, hdr, c0,
+                                                         c1, rows)
+            return repad_words(d2, aoff, wc, lw, L // hdr["lane"],
+                               hdr["wl_bucket"])
+        fd, lw = self._stage_words(blob, hdr, c0, c1, rows)
         return _repad_words(fd, lw, L // hdr["lane"], hdr["wl_bucket"])
 
     @staticmethod
