@@ -22,6 +22,11 @@ from huffman_codec_tpu.models import CodecConfig, TPUCodec  # noqa: E402
 
 DATA = pathlib.Path("/root/reference/data")
 
+# quality cells split across two modules so the xdist loadfile scheduler
+# runs the suite's longest pole on both workers (test_quality_b.py has
+# the other half)
+_SPLIT_A = ['df1h.raw', 'df1hvx.raw', 'df1v.raw', 'hd01.raw', 'hd01double.raw', 'hd01extra.raw']
+
 
 _CELLS_SINCE_CLEAR = [0]
 
@@ -64,7 +69,7 @@ CONFIGS = [  # (column index, use_diff, use_adapt)
 
 @pytest.mark.parametrize("col,use_diff,use_adapt", CONFIGS,
                          ids=["static", "m", "a", "am"])
-@pytest.mark.parametrize("name", sorted(REF))
+@pytest.mark.parametrize("name", sorted(n for n in REF if n in _SPLIT_A))
 def test_v3_size_vs_reference(name, col, use_diff, use_adapt):
     raw = (DATA / name).read_bytes()
     codec = TPUCodec(CodecConfig(use_diff=use_diff, use_adapt=use_adapt,
