@@ -229,17 +229,33 @@ def _decode_breakdown(codec, blob, S: int, cs: int, lane: int) -> dict:
     sub["tables"] = hdr["tables"][:S]
     sub["lane_words"] = hdr["lane_words"][:S]
     cap = _sharded_cap(cs, "canonical", lane)
-    t0 = _time.perf_counter()
-    fd, lwd = codec._stage_words(blob, hdr, 0, S, S)
-    rld = jax.device_put(jnp.asarray(rl))
-    card = jax.device_put(jnp.asarray(car))
-    jax.block_until_ready((fd, lwd, rld, card))
-    out["stage_h2d"] = _time.perf_counter() - t0
     nl = cap // lane
-    out["repad"] = device_time(
-        lambda f_, l_: _repad_words(f_, l_, nl, hdr["wl_bucket"]),
-        (fd, lwd), reps_hi=4, label="repad", quiet=True)
-    wd = _repad_words(fd, lwd, nl, hdr["wl_bucket"])
+    use_k = codec._use_pallas_repad(hdr)
+    t0 = _time.perf_counter()
+    if use_k:
+        d2, aoff, wc, lwd = codec._stage_words_aligned(blob, hdr, 0, S, S)
+        rld = jax.device_put(jnp.asarray(rl))
+        card = jax.device_put(jnp.asarray(car))
+        jax.block_until_ready((d2, lwd, rld, card))
+    else:
+        fd, lwd = codec._stage_words(blob, hdr, 0, S, S)
+        rld = jax.device_put(jnp.asarray(rl))
+        card = jax.device_put(jnp.asarray(car))
+        jax.block_until_ready((fd, lwd, rld, card))
+    out["stage_h2d"] = _time.perf_counter() - t0
+    if use_k:
+        from huffman_codec_tpu.ops.pallas_kernels import repad_words
+
+        out["repad"] = device_time(
+            lambda a, b, c_, d: repad_words(a, b, c_, d, nl,
+                                            hdr["wl_bucket"]),
+            (d2, aoff, wc, lwd), reps_hi=4, label="repad", quiet=True)
+        wd = repad_words(d2, aoff, wc, lwd, nl, hdr["wl_bucket"])
+    else:
+        out["repad"] = device_time(
+            lambda f_, l_: _repad_words(f_, l_, nl, hdr["wl_bucket"]),
+            (fd, lwd), reps_hi=4, label="repad", quiet=True)
+        wd = _repad_words(fd, lwd, nl, hdr["wl_bucket"])
     out["entropy_decode"] = device_time(
         lambda w_, r_: _entropy_decode(w_, r_, sub, cap), (wd, rld),
         reps_hi=4, label="entropy_decode", quiet=True)
