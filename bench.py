@@ -349,7 +349,9 @@ def main() -> int:
     detail.update(file=name, bytes=n, chunk_size=cs, step_chunks=S,
                   entropy=args.entropy, median_s=round(dt, 4))
 
-    # provisional result now — anything after this only ADDS detail
+    # provisional result now — anything after this only ADDS detail.
+    # Also snapshotted to a file so a driver timeout on a cold-compile
+    # run still leaves the headline number on disk.
     result = {
         "metric": "v3_device_encode_throughput",
         "value": round(mbps, 3),
@@ -357,6 +359,10 @@ def main() -> int:
         "vs_baseline": round(mbps / BASELINE_ENCODE_MBPS, 2),
         "detail": detail,
     }
+    try:
+        (REPO / "bench_provisional.json").write_text(json.dumps(result))
+    except OSError:
+        pass
 
     if not args.skip_stages:
         try:
@@ -509,6 +515,10 @@ def main() -> int:
         result["adaptive_decode_s"] = detail["adaptive"]["decode_s"]
         result["adaptive_bytes_vs_ref"] = (detail["adaptive"]["bytes"]
                                            - detail["adaptive"]["ref_bytes"])
+    try:
+        (REPO / "bench_provisional.json").write_text(json.dumps(result))
+    except OSError:
+        pass
     print(json.dumps(result))
     return 0
 
