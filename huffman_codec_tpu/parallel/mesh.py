@@ -260,6 +260,59 @@ def distributed_adapt_encode_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "width", "band_h", "bs", "use_diff", "lane",
+                     "axis"),
+)
+def distributed_adapt_decode_step(
+    words: jax.Array,
+    stream_lens: jax.Array,
+    tile_lens: jax.Array,
+    dirs: jax.Array,
+    carries: jax.Array,
+    tables: jax.Array,
+    lane_words: jax.Array,
+    mesh: Mesh,
+    width: int,
+    band_h: int,
+    bs: int,
+    use_diff: bool = True,
+    lane: int = 512,
+    axis: str = "dp",
+):
+    """Inverse of ``distributed_adapt_encode_step``: per-band entropy
+    decode + manifest-parallel tile decode + per-band diff revert shard
+    across the mesh; one ``all_gather`` assembles the rows. ``words`` is
+    the padded fixed-stride lane layout (n_bands, n_lanes * Wl)."""
+    from huffman_codec_tpu.ops.adapt import adapt_decode_tiled
+
+    cs = band_h * width
+    cap = sharded_cap(cs, "canonical", lane)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None),
+                  P(axis), P(axis, None), P(axis, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def step(lw_words, lsl, ltl, ldirs, lcar, ltab, llw):
+        streams = canonical_decode_batch(
+            lw_words, ltab, llw, lsl, lane=lane, out_len=cap)
+        dec = jax.vmap(lambda s, tl, d: adapt_decode_tiled(
+            s, tl, d, width, band_h, bs))
+        out = dec(streams, ltl, ldirs)
+        if use_diff:
+            out = jax.vmap(lambda y, cin: diff_revert(y, cin))(out, lcar)
+        return jax.lax.all_gather(out, axis, tiled=True)
+
+    return step(words, stream_lens.astype(jnp.int32),
+                tile_lens.astype(jnp.int32), dirs, carries, tables,
+                lane_words).reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "chunk_size", "use_diff", "entropy", "lane",
                      "axis"),
 )

@@ -136,3 +136,28 @@ def test_mesh_adaptive_search_psum():
     scores2 = np.asarray(distributed_adapt_search(
         jnp.asarray(arr), default_mesh(), 512, 32, True))
     np.testing.assert_array_equal(scores, scores2)
+
+
+def test_mesh_adaptive_roundtrip():
+    """distributed_adapt_encode_step -> distributed_adapt_decode_step
+    over the virtual mesh reconstructs the input exactly."""
+    import jax.numpy as jnp
+
+    from huffman_codec_tpu.models.chunked import _n_words_for, _sharded_cap
+    from huffman_codec_tpu.parallel.mesh import (
+        default_mesh, distributed_adapt_decode_step,
+        distributed_adapt_encode_step)
+
+    raw = pathlib.Path("/root/reference/data/hd01.raw").read_bytes()[:131072]
+    arr = np.frombuffer(raw, np.uint8)
+    w, band_h, bs, lane = 512, 32, 16, 64
+    mesh = default_mesh()
+    (buf, lw, tables, totals, dirs, tlens,
+     carries) = distributed_adapt_encode_step(
+        jnp.asarray(arr), mesh, w, band_h, bs, True, "canonical", lane)
+    cap = _sharded_cap(band_h * w, "canonical", lane)
+    wpc = _n_words_for(cap, "canonical", lane)
+    out = distributed_adapt_decode_step(
+        buf.reshape(buf.shape[0], wpc), totals, tlens, dirs, carries,
+        tables, lw, mesh, w, band_h, bs, True, lane)
+    assert bytes(np.asarray(out)[: len(raw)]) == raw
