@@ -6,13 +6,13 @@ spots where XLA's lowering fights the hardware (all numbers measured on
 the v5e with micro_rle.py / micro_pack.py, 16.8 MB grid):
 
 - ``histogram256``: per-chunk byte histograms. The natural scatter-add
-  formulation serializes on TPU; the XLA-friendly broadcast-compare form
-  (ops/canonical.py) relies on fusion to avoid materializing a
-  (C, L, 256) compare. This kernel makes the blocking explicit: the chunk
-  streams through VMEM in 2048-symbol blocks, each block's one-hot
-  compare stays in registers and folds straight into a (256,) VMEM
-  accumulator — HBM traffic is the input bytes + 1 KB of counts per
-  chunk, the roofline for this op.
+  formulation serializes on TPU, and the direct 256-wide one-hot
+  compare-reduce is VPU-bound at ~770 element-ops/byte. This kernel uses
+  the radix-16 MXU formulation instead: per 1024-symbol slab, the hi/lo
+  nibble one-hots (two 16-wide compares) outer-product on the MXU
+  (bf16 x bf16 -> f32) into a (128, 128) accumulator whose r-diagonal is
+  the histogram — measured 8x the one-hot kernel (5.2 -> 0.7 ms per
+  16.8 MB step).
 
 - ``lane_pack``: the canonical entropy encode hot path (per-symbol code
   lookup + MSB-first bit packing). XLA's per-element ops are hopeless
@@ -21,7 +21,17 @@ the v5e with micro_rle.py / micro_pack.py, 16.8 MB grid):
   256-row one-hot sum-select against the broadcast table (every
   intermediate keeps the lane axis — Mosaic's layout inference rejects
   flatten-style reshapes like (8, 512) -> (4096, 1)), and placement is the
-  monotone butterfly network (ops/compact.py proof). Lanes are word-aligned
+  monotone butterfly network (ops/compact.py proof). NOTE (measured, r5):
+  porting the decode kernel's bitplane word-select lookup here — 13
+  planes of (len << 8 | canonical rank) + a 32-entry adj[l] select —
+  LOST to this one-hot (6.45 vs 5.98 ms per 16.8 MB step on the v5e):
+  the one-hot's compare/select/reduce runs on perfectly tiled (256, TL)
+  vregs at ~2-3 ops per (symbol, value), while the bitplane path's
+  (16, 8, TL) word selects, lane-broadcasts of (16, 1) plane columns and
+  per-symbol variable shifts lower at well under half that efficiency;
+  the decode kernel only wins with bitplanes because its per-symbol step
+  has (G, nl)-shaped operands where a 256-row one-hot cannot fill the
+  vregs. Lanes are word-aligned
   in the v3 wire format (<= 31 pad bits per lane) so packing is lane-LOCAL
   — no cross-lane carry, no global merge; the host strips inter-lane
   padding with one boolean mask.
@@ -52,40 +62,69 @@ def pick_block(L: int) -> int:
     return _SLAB_ROWS * _LANES if L % (_SLAB_ROWS * _LANES) == 0 else 0
 
 
-# NOTE: sub-32-bit histogram formulations were tried and are NOT portable
-# to this backend: Mosaic v5e rejects i8 vectors outright, has no i8/i16
-# reductions, and "Target does not support this comparison" for i16
-# equality — the i32 one-hot below is the supported formulation.
+# NOTE: sub-32-bit one-hot histogram formulations were tried and are NOT
+# portable to this backend: Mosaic v5e rejects i8 vectors outright, has no
+# i8/i16 reductions, and "Target does not support this comparison" for i16
+# equality. The radix-16 MXU formulation below sidesteps the issue: the
+# one-hots are 16-wide (i32 compares), and the 256-way cross product rides
+# the MXU as an outer-product accumulation.
+_HIST_UNROLL = 2  # slabs folded per fori_loop iteration (measured 2.5x)
+
+
 def _hist_kernel(len_ref, sym_ref, out_ref):
-    """One grid step = one chunk, viewed as (R, 128) byte rows.
+    """Radix-16 MXU histogram: one grid step = one chunk as (R, 128) rows.
+
+    hist[v] for v = 16*hi + lo is an outer product of the hi/lo nibble
+    one-hots: per 8-row slab, A (128, 128) holds [hi[r, c] == a] at row
+    s = 16 r + a (B likewise for lo), and ``acc += A @ B^T`` contracts the
+    lane axis on the MXU (bf16 in, f32 accumulate — 0/1 values and counts
+    < 2^24 stay exact). Cross-row terms (r != r') land off the r-diagonal
+    and are dropped by the caller's einsum. Measured 8x faster than the
+    direct 256-wide one-hot compare-reduce this replaced: per byte the
+    VPU now builds two 16-wide one-hots (~5 full-width vreg ops per slab)
+    instead of a 256-wide compare+select+reduce (~770 element-ops/byte).
 
     ``len_ref`` is the scalar-prefetch operand (SMEM) — dynamic scalar
     indexing is only legal there, not on VMEM vectors."""
     R = sym_ref.shape[1]
     length = len_ref[pl.program_id(0)]
-    col = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES, 1), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES, 1), 0)
-    v = jax.lax.broadcasted_iota(
-        jnp.int32, (_SLAB_ROWS, _LANES, N_SYM), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, _LANES), 0)
+    a3 = jax.lax.broadcasted_iota(jnp.int32, (_SLAB_ROWS, 16, _LANES), 1)
+
+    def slab(r0, acc):
+        blk = sym_ref[0, pl.ds(r0, _SLAB_ROWS), :]
+        pos = (r0 + row) * _LANES + col
+        valid = pos < length
+        hi = blk >> 4
+        lo = jnp.where(valid, blk & 15, 16)  # invalid -> no lo bucket
+        A = (hi[:, None, :] == a3).astype(jnp.bfloat16).reshape(128, _LANES)
+        B = (lo[:, None, :] == a3).astype(jnp.bfloat16).reshape(128, _LANES)
+        return acc + jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     def body(b, acc):
-        r0 = b * _SLAB_ROWS
-        blk = sym_ref[0, pl.ds(r0, _SLAB_ROWS), :]
-        pos = (r0 + row[..., 0]) * _LANES + col[..., 0]
-        valid = pos < length
-        # (8, 128, 256) one-hot compare folded into the accumulator —
-        # ~1 MB of vregs, never leaves the core
-        eq = (blk[:, :, None] == v) & valid[:, :, None]
-        return acc + jnp.sum(eq.astype(jnp.int32), axis=(0, 1))
+        for u in range(_HIST_UNROLL):
+            acc = slab((b * _HIST_UNROLL + u) * _SLAB_ROWS, acc)
+        return acc
 
     # dynamic trip bound: slabs past the valid prefix contribute nothing
     # — on compressible data ~35% of the padded buffer is skipped
-    slab = _SLAB_ROWS * _LANES
-    nblk = jnp.minimum(jnp.int32(R // _SLAB_ROWS),
-                       (length + slab - 1) // slab)
+    slabsz = _SLAB_ROWS * _LANES * _HIST_UNROLL
+    nblk = jnp.minimum(jnp.int32(R // (_SLAB_ROWS * _HIST_UNROLL)),
+                       (length + slabsz - 1) // slabsz)
     acc = jax.lax.fori_loop(0, nblk, body,
-                            jnp.zeros((N_SYM,), jnp.int32))
-    out_ref[0, 0, :] = acc
+                            jnp.zeros((128, 128), jnp.float32))
+
+    # tail slabs the unroll rounding missed (R need only divide by 8)
+    def tail(b, acc):
+        return jax.lax.cond(
+            (b >= nblk * _HIST_UNROLL) & (b * _SLAB_ROWS * _LANES < length),
+            lambda a: slab(b * _SLAB_ROWS, a), lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, R // _SLAB_ROWS, tail, acc)
+    out_ref[0] = acc
 
 
 def lane_words_cap(lane: int) -> int:
@@ -1030,17 +1069,20 @@ def histogram256(data: jax.Array, lengths: jax.Array,
         raise ValueError(f"chunk length must divide by {_SLAB_ROWS * _LANES}")
     R = L // _LANES
     # i32 tiles: the i8 sublane tile is 32, which would force 32-row slabs;
-    # widening outside the kernel keeps the slab at 8 rows (~1 MB compare)
+    # widening outside the kernel keeps the slab at 8 rows
     kern, tiles = _hist_kernel, data.reshape(C, R, _LANES).astype(jnp.int32)
-    return pl.pallas_call(
+    acc = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # lengths ride in SMEM
             grid=(C,),
             in_specs=[pl.BlockSpec((1, R, _LANES), lambda c, lens: (c, 0, 0))],
-            # (C, 1, 256) so the block's last two dims match the array's
-            out_specs=pl.BlockSpec((1, 1, N_SYM), lambda c, lens: (c, 0, 0)),
+            out_specs=pl.BlockSpec((1, 128, 128), lambda c, lens: (c, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((C, 1, N_SYM), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((C, 128, 128), jnp.float32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), tiles)[:, 0, :]
+    )(lengths.astype(jnp.int32), tiles)
+    # acc[c, 16 r + a, 16 r' + b]: the r-diagonal holds the real pairs,
+    # cross-row terms are MXU by-products — drop them with one einsum
+    h = jnp.einsum("crarb->cab", acc.reshape(C, 8, 16, 8, 16))
+    return h.reshape(C, N_SYM).astype(jnp.int32)
