@@ -834,20 +834,29 @@ def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
     emit_lit = valid & (q < 3)
     emit_cnt = valid & ((q == RESET_CHUNK - 1) | (seg_end & (q >= 2)))
 
-    rank_lit = _flat_prefix(emit_lit.astype(jnp.int32), R, jnp.add, True)
-    rank_cnt = _flat_prefix(emit_cnt.astype(jnp.int32), R, jnp.add, True)
-    off = rank_lit + rank_cnt
-    n_lit = jnp.sum(emit_lit.astype(jnp.int32))
-    n_cnt = jnp.sum(emit_cnt.astype(jnp.int32))
-
-    lit_v, lit_h = _route(jnp.where(emit_lit, y, 0), off, emit_lit,
-                          rank_lit, n_lit, R, capR)
-    cnt_v, cnt_h = _route(jnp.where(emit_cnt, q - 2, 0),
-                          off + emit_lit.astype(jnp.int32), emit_cnt,
-                          rank_cnt, n_cnt, R, capR)
-    out_ref[0] = jnp.where(lit_h, lit_v, jnp.where(cnt_h, cnt_v & 255, 0))
-    tot = jnp.full((1, 128), 0, jnp.int32) + (n_lit + n_cnt)
-    tot_ref[0] = tot
+    # a position emits 0, 1 or 2 bytes (2 = third literal + its count at
+    # a segment end); pack the pair into ONE routed 16-bit value landing
+    # at the pair's first output slot — the second byte's slot is then
+    # the only kind of routing gap, closed by a single shift afterwards.
+    # This halves the butterfly work vs the two-route (literals, counts)
+    # formulation it replaces (measured 8.9 -> 5.3 ms per 16.8 MB step).
+    emit2 = emit_lit & emit_cnt
+    emit_n = emit_lit.astype(jnp.int32) + emit_cnt.astype(jnp.int32)
+    off = _flat_prefix(emit_n, R, jnp.add, True)
+    kept = emit_n > 0
+    rank = _flat_prefix(kept.astype(jnp.int32), R, jnp.add, True)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    total = jnp.sum(emit_n)
+    cntv = (q - 2) & 255
+    b0 = jnp.where(emit_lit, y, cntv)
+    b1 = jnp.where(emit2, cntv, 0)
+    v, have = _route(jnp.where(kept, b0 | (b1 << 8), 0), off, kept,
+                     rank, n_kept, R, capR)
+    pv = _flat_shift_right(v, 1, capR, 0)
+    fo = _iota_flat(capR)
+    out = jnp.where(have, v & 255, (pv >> 8) & 255)
+    out_ref[0] = jnp.where(fo < total, out, 0)
+    tot_ref[0] = jnp.full((1, 128), 0, jnp.int32) + total
 
 
 @functools.partial(jax.jit,
