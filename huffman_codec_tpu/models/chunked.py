@@ -1013,7 +1013,9 @@ class TPUCodec:
         rows_per = (wc + 127) // 128
         aoff = np.zeros(rows, np.int64)
         aoff[1:] = np.cumsum(rows_per)[:-1]
-        swr = max(1, n_lanes * Wb // 128)
+        # must cover the repad kernel's DMA span (SWR, rounded to the
+        # 8-row sublane tile there)
+        swr = max(8, -(-(n_lanes * Wb // 128) // 8) * 8)
         nb = 128
         while nb < int(aoff[-1] + rows_per[-1]) + swr:
             nb <<= 1
@@ -1054,6 +1056,27 @@ class TPUCodec:
             fpad[: nbytes // 4] = np.frombuffer(blob, ">u4", nbytes // 4,
                                                 base)
         return jnp.asarray(fpad), jnp.asarray(lw)
+
+    @staticmethod
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_lanes", "wb", "cs", "cap", "use_diff", "lane",
+                         "max_len"))
+    def _decode_step_fused(dense2d, aoff, wc, lw, tables, lane_words, rl,
+                           car, n_lanes: int, wb: int, cs: int, cap: int,
+                           use_diff: bool, lane: int, max_len: int):
+        """One fused device dispatch for a whole decode step: Pallas
+        repad -> canonical entropy decode -> RLE expand + diff revert.
+        The three separate jit dispatches this replaces each paid the
+        dispatch round-trip, which at 4+ steps was ~1/3 of the streamed
+        decode wall (606 vs 907 MB/s device-stage sum, BENCH_r04)."""
+        from huffman_codec_tpu.ops.pallas_kernels import repad_words
+
+        w = repad_words(dense2d, aoff, wc, lw, n_lanes, wb)
+        chunks_rle = canonical_decode_batch(
+            w, tables, lane_words, rl, lane=lane, out_len=cap,
+            max_len=max_len)
+        return _decode_sharded_tail(chunks_rle, rl, car, cs, cap, use_diff)
 
     def stage_decode_steps(self, blob: bytes, hdr: dict | None = None):
         """Parse + start the host->device transfers for every decode
@@ -1101,6 +1124,11 @@ class TPUCodec:
             st["sub"] = sub
             st["rl"] = jnp.asarray(rl)
             st["car"] = jnp.asarray(car)
+            if "dense2d" in st:
+                # stage the manifest slices too, so the fused decode step
+                # dispatches with zero implicit H2D uploads
+                st["tabd"] = jnp.asarray(sub["tables"])
+                st["lwm"] = jnp.asarray(sub["lane_words"])
             staged.append(st)
         return hdr, staged
 
@@ -1117,11 +1145,13 @@ class TPUCodec:
         parts = []
         for st in staged:
             if "dense2d" in st:
-                from huffman_codec_tpu.ops.pallas_kernels import repad_words
-
-                w = repad_words(st["dense2d"], st["aoff"], st["wc"],
-                                st["lw"], n_lanes, hdr["wl_bucket"])
-            elif "flat" in st:
+                parts.append(self._decode_step_fused(
+                    st["dense2d"], st["aoff"], st["wc"], st["lw"],
+                    st["tabd"], st["lwm"], st["rl"], st["car"], n_lanes,
+                    hdr["wl_bucket"], cs, cap, use_diff, hdr["lane"],
+                    hdr["max_len_bucket"]))
+                continue
+            if "flat" in st:
                 w = _repad_words(st["flat"], st["lw"], n_lanes,
                                  hdr["wl_bucket"])
             else:
@@ -1369,13 +1399,17 @@ class TPUCodec:
             lw[np.arange(lpc)[None, :] < used[:, None]] = entries
             chunk_bits = (32 * lw.sum(axis=1, dtype=np.int64)).tolist()
             mx = int(lw.max()) if lw.size else 1
-            # decoder stride: power-of-two bucket over the fattest lane
-            # (floor 8 keeps the Mosaic sublane tile; cap = worst case)
+            # decoder stride: bucket the fattest lane to a multiple of 16
+            # (floor 8 keeps the Mosaic sublane tile; cap = worst case).
+            # NOT a power of two: a 129-word lane (one incompressible
+            # chunk in a 64 MB corpus) would double the stride to 256,
+            # and the repad output + the decode kernel's refill one-hot
+            # both scale with the stride — measured 36 -> 21 ms repad on
+            # the bench container from this change alone. Multiples of
+            # 16 keep (nl * wb) % 128 == 0 for every nl % 8 == 0 layout.
             from huffman_codec_tpu.ops.pallas_kernels import lane_words_cap
 
-            wb = 8
-            while wb < mx:
-                wb <<= 1
+            wb = max(8, -(-mx // 16) * 16)
             # static max-code-length bucket (one compiled decode shape per
             # container): shrinks the kernel's per-symbol boundary compare
             ml = int(tables.max()) if tables.size else 1

@@ -369,12 +369,19 @@ def _lane_decode_kernel(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
     value, and the canonical symbol comes from 8 BITPLANES of the
     canon_syms table (select 1 of 8 u32 words per plane + a per-lane
     variable shift) instead of a 256-row one-hot — ~6x fewer vreg ops.
-    Refills pull each lane's next word with a one-hot select over its
-    bucketed Wb-word row. Output is written time-major in aligned
-    8-sublane blocks and transposed outside."""
+    Refills pull each lane's next word from a 16-word REGISTER WINDOW
+    (one-hot over 16 rows); the window itself reloads from the bucketed
+    Wb-word buffer only when some lane crosses an 8-word group boundary
+    (a lax.cond per 8-symbol block, ~every 6 blocks at 2.7 bpc) — the
+    per-symbol one-hot over all Wb rows this replaces was the kernel's
+    dominant cost once real containers pushed Wb to 144+ (any single
+    incompressible lane in the container sets the bucket). Output is
+    written time-major in aligned 8-sublane blocks and transposed
+    outside."""
     Wb, G, nl = buf_ref.shape[1], buf_ref.shape[2], buf_ref.shape[3]
     lane = out_ref.shape[1]
     Lmax = bound_ref.shape[1]
+    use_win = Wb >= 24 and Wb % 8 == 0
 
     words = buf_ref[0]                    # (Wb, G, nl) i32 time-major
     bound = bound_ref[0][:, :, None]      # (Lmax, G, 1)
@@ -388,12 +395,24 @@ def _lane_decode_kernel(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
     kbit = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
     # bitplane table broadcast once per grid step (loop-invariant)
     pb = jnp.broadcast_to(planes[:, :, :, None], (8, 8, G, nl))
+    if use_win:
+        WG = Wb // 8
+        words_g = words.reshape(WG, 8, G, nl)
+        gvec = jax.lax.broadcasted_iota(jnp.int32, (WG, 1, 1, 1), 0)
+        w16row = jax.lax.broadcasted_iota(jnp.int32, (16, 1, 1), 0)
+
+        def load_window(cursor):
+            gb = cursor >> 3  # (1, G, nl) group of each lane's cursor
+            w0 = jnp.sum(jnp.where(gvec == gb[None], words_g, 0), axis=0)
+            w1 = jnp.sum(jnp.where(gvec == gb[None] + 1, words_g, 0),
+                         axis=0)
+            return jnp.concatenate([w0, w1], axis=0), gb * 8
 
     hi0 = words[0][None].astype(jnp.uint32)   # (1, G, nl)
     lo0 = words[1][None].astype(jnp.uint32)
 
     def sym_step(k, carry):
-        hi, lo, navail, cursor = carry
+        hi, lo, navail, cursor, win, wbase = carry
         active = k < ns
         v = (hi >> sh).astype(jnp.int32)      # (Lmax, G, nl)
         sel = v < bound
@@ -421,16 +440,31 @@ def _lane_decode_kernel(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
         # refill: invariant navail >= 32 before each decode; one
         # conditional word pull restores it after a consume
         need = navail < 32
-        nw = jnp.sum(jnp.where(wrow == cursor, words, 0), axis=0,
-                     keepdims=True).astype(jnp.uint32)
+        if use_win:
+            nw = jnp.sum(jnp.where(w16row == cursor - wbase, win, 0),
+                         axis=0, keepdims=True).astype(jnp.uint32)
+        else:
+            nw = jnp.sum(jnp.where(wrow == cursor, words, 0), axis=0,
+                         keepdims=True).astype(jnp.uint32)
         na = jnp.clip(navail, 1, 31).astype(jnp.uint32)
         hi = jnp.where(need, hi | (nw >> na), hi)
         lo = jnp.where(need, lo | (nw << (32 - na)), lo)
         cursor = jnp.where(need, cursor + 1, cursor)
         navail = jnp.where(need, navail + 32, navail)
-        return sym, (hi, lo, navail, cursor)
+        return sym, (hi, lo, navail, cursor, win, wbase)
 
     def block8(b, carry):
+        if use_win:
+            # a block consumes <= 8 words/lane, so a 16-word window
+            # re-centered at each block start always covers the block.
+            # (Re-centering only when some lane crosses a group — a
+            # lax.cond — trips Mosaic's relayout inference on the merged
+            # carry; the unconditional load is 2 Wb-row selects per 8
+            # symbols, already ~5x cheaper than the per-symbol Wb-row
+            # one-hot this design replaced.)
+            hi, lo, navail, cursor, win, wbase = carry
+            win, wbase = load_window(cursor)
+            carry = (hi, lo, navail, cursor, win, wbase)
         syms = []
         for i in range(8):
             sym, carry = sym_step(b * 8 + i, carry)
@@ -441,7 +475,14 @@ def _lane_decode_kernel(buf_ref, bound_ref, base_ref, planes_ref, ns_ref,
 
     na0 = jnp.full((1, G, nl), 64, jnp.int32)
     cur0 = jnp.full((1, G, nl), 2, jnp.int32)
-    jax.lax.fori_loop(0, lane // 8, block8, (hi0, lo0, na0, cur0))
+    if use_win:
+        win0 = jnp.concatenate([words_g[0], words_g[1]], axis=0)
+        wb0 = jnp.zeros((1, G, nl), jnp.int32)
+    else:  # dummies so the carry structure is uniform
+        win0 = jnp.zeros((16, G, nl), jnp.int32)
+        wb0 = jnp.zeros((1, G, nl), jnp.int32)
+    jax.lax.fori_loop(0, lane // 8, block8,
+                      (hi0, lo0, na0, cur0, win0, wb0))
 
 
 @functools.partial(jax.jit,
@@ -778,24 +819,24 @@ def _route(v, t, kept, rank, n_kept, R, capR):
 def _place_right(vv, tt, n_kept, capR):
     """MSB-first right placement of a DENSE PREFIX: element at flat i
     (i < n_kept) lands at column tt[i] >= i (tt strictly increasing).
-    Returns (vals, have) over (capR, 128)."""
+    Returns (vals, have) over (capR, 128). The remaining shift s and the
+    occupancy bit ride ONE packed word (sh = s << 1 | have) so each
+    round shifts two arrays, not three — ~25% fewer vreg ops in the
+    butterflies that dominate the repad and RLE kernels."""
     flat = _iota_flat(capR)
     live = flat < n_kept
-    s = jnp.where(live, tt - flat, 0)
-    have = live
+    sh = jnp.where(live, ((tt - flat) << 1) | 1, 0)
     vv = jnp.where(live, vv, 0)
     d = 1 << (capR * 128 - 1).bit_length() - 1
     while d >= 1:
         in_v = _flat_shift_right(vv, d, capR, 0)
-        in_s = _flat_shift_right(s, d, capR, 0)
-        in_h = _flat_shift_right(have.astype(jnp.int32), d, capR, 0)
-        arrive = (in_h != 0) & ((in_s & d) != 0)
-        moved = have & ((s & d) != 0)
+        in_sh = _flat_shift_right(sh, d, capR, 0)
+        arrive = ((in_sh & 1) != 0) & ((in_sh & (2 * d)) != 0)
+        moved = (sh & (2 * d)) != 0  # h == 0 implies s == 0: never fires
         vv = jnp.where(arrive, in_v, vv)
-        s = jnp.where(arrive, in_s - d, jnp.where(moved, 0, s))
-        have = (have & ~moved) | arrive
+        sh = jnp.where(arrive, in_sh - 2 * d, jnp.where(moved, 0, sh))
         d >>= 1
-    return vv, have
+    return vv, (sh & 1) != 0
 
 
 def _iota_flat(R):
@@ -981,42 +1022,51 @@ def rle_expand(streams: jax.Array, is_cnt: jax.Array, lengths: jax.Array,
     return out.reshape(C, out_len).astype(jnp.uint8)
 
 
+_RG = 8  # chunks per repad grid step: amortizes the ~30 us/step grid +
+# DMA-wait overhead measured at one-chunk steps, and the k-th chunk's
+# compute overlaps the k+1..RG DMAs (all started up front)
+
+
 def _repad_kernel(aoff_ref, wc_ref, dense_ref, lw_ref, out_ref, scratch,
                   sem, *, SWR: int, outR: int, nlR: int, Wb: int):
-    """One grid step = one chunk: DMA the chunk's dense payload words
-    from HBM (128-word-aligned dynamic offset) into VMEM, then route
-    word i to its padded slot lane(i) * Wb + (i - lane_start(i)) — the
-    wire->decoder layout transform entirely in VMEM. The XLA spread
-    formulation costs ~12 ms per 16.8 MB step in HBM round-trips; this
-    kernel is ~1.5 ms."""
-    c = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        dense_ref.at[pl.ds(aoff_ref[c], SWR), :], scratch, sem)
-    cp.start()
-    lw = lw_ref[0]  # (nlR, 128) lane word counts (flat over nl entries)
-    start = _flat_prefix(lw, nlR, jnp.add, True)  # exclusive lane starts
-    # one packed route: lane id << 18 | lane start, placed at each
-    # lane's start position, forward-filled across the lane's words
-    ids = _iota_flat(nlR)
-    kept = lw > 0
-    rank = _flat_prefix(kept.astype(jnp.int32), nlR, jnp.add, True)
-    n_kept = jnp.sum(kept.astype(jnp.int32))
-    packed = jnp.where(kept, (ids << 18) | start, 0)
-    v, have = _route(packed, start, kept, rank, n_kept, nlR, SWR)
-    hv = have.astype(jnp.int32)
-    d = 1
-    while d < Wb:
-        sv = _flat_shift_right(v, d, SWR, 0)
-        sh = _flat_shift_right(hv, d, SWR, 0)
-        fill = (hv == 0) & (sh != 0)
-        v = jnp.where(fill, sv, v)
-        hv = hv | fill.astype(jnp.int32)
-        d <<= 1
-    i = _iota_flat(SWR)
-    tt = (v >> 18) * Wb + (i - (v & ((1 << 18) - 1)))
-    cp.wait()
-    words, _ = _place_right(scratch[...], tt, wc_ref[c], outR)
-    out_ref[0] = words
+    """One grid step = _RG chunks: DMA each chunk's dense payload words
+    from HBM (128-word-aligned dynamic offset) into its VMEM scratch
+    slot, then route word i to its padded slot lane(i) * Wb +
+    (i - lane_start(i)) — the wire->decoder layout transform entirely in
+    VMEM. The XLA spread formulation costs ~12 ms per 16.8 MB step in
+    HBM round-trips."""
+    g = pl.program_id(0)
+    for k in range(_RG):
+        pltpu.make_async_copy(
+            dense_ref.at[pl.ds(aoff_ref[g * _RG + k], SWR), :],
+            scratch.at[k], sem.at[k]).start()
+    for k in range(_RG):
+        lw = lw_ref[k]  # (nlR, 128) lane word counts (flat over nl)
+        start = _flat_prefix(lw, nlR, jnp.add, True)  # excl lane starts
+        # one packed route: lane id << 18 | lane start, placed at each
+        # lane's start position, forward-filled across the lane's words
+        ids = _iota_flat(nlR)
+        kept = lw > 0
+        rank = _flat_prefix(kept.astype(jnp.int32), nlR, jnp.add, True)
+        n_kept = jnp.sum(kept.astype(jnp.int32))
+        packed = jnp.where(kept, (ids << 18) | start, 0)
+        v, have = _route(packed, start, kept, rank, n_kept, nlR, SWR)
+        hv = have.astype(jnp.int32)
+        d = 1
+        while d < Wb:
+            sv = _flat_shift_right(v, d, SWR, 0)
+            sh = _flat_shift_right(hv, d, SWR, 0)
+            fill = (hv == 0) & (sh != 0)
+            v = jnp.where(fill, sv, v)
+            hv = hv | fill.astype(jnp.int32)
+            d <<= 1
+        i = _iota_flat(SWR)
+        tt = (v >> 18) * Wb + (i - (v & ((1 << 18) - 1)))
+        pltpu.make_async_copy(
+            dense_ref.at[pl.ds(aoff_ref[g * _RG + k], SWR), :],
+            scratch.at[k], sem.at[k]).wait()
+        words, _ = _place_right(scratch[k], tt, wc_ref[g * _RG + k], SWR)
+        out_ref[k] = words[:outR]
 
 
 @functools.partial(jax.jit, static_argnames=("nl", "wb", "interpret"))
@@ -1038,31 +1088,37 @@ def repad_words(dense: jax.Array, aoff_rows: jax.Array, wc: jax.Array,
         raise ValueError("chunk stride exceeds the packed-route domain")
     outR = nl * wb // 128
     nlR = -(-nl // 128)
-    SWR = max(outR, 1)  # a chunk's dense words never exceed its stride
-    lw_pad = jnp.zeros((C, nlR * 128), jnp.int32)
-    lw_pad = lw_pad.at[:, :nl].set(lane_words.astype(jnp.int32))
+    # a chunk's dense words never exceed its stride; rounded up to the
+    # sublane tile (8 rows) — an odd scratch/DMA row count (e.g. 153 at
+    # the 144-word stride) faults the TPU worker (observed on v5e)
+    SWR = max(-(-outR // 8) * 8, 8)
+    Cp = -(-C // _RG) * _RG  # pad the chunk axis to the grid batch
+    lw_pad = jnp.zeros((Cp, nlR * 128), jnp.int32)
+    lw_pad = lw_pad.at[:C, :nl].set(lane_words.astype(jnp.int32))
+    aoff_p = jnp.zeros((Cp,), jnp.int32).at[:C].set(
+        aoff_rows.astype(jnp.int32))
+    wc_p = jnp.zeros((Cp,), jnp.int32).at[:C].set(wc.astype(jnp.int32))
     out = pl.pallas_call(
         functools.partial(_repad_kernel, SWR=SWR, outR=outR, nlR=nlR,
                           Wb=wb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(C,),
+            grid=(Cp // _RG,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # dense stays in HBM
-                pl.BlockSpec((1, nlR, 128), lambda c, a, w: (c, 0, 0)),
+                pl.BlockSpec((_RG, nlR, 128), lambda g, a, w: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, outR, 128),
-                                   lambda c, a, w: (c, 0, 0)),
+            out_specs=pl.BlockSpec((_RG, outR, 128),
+                                   lambda g, a, w: (g, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((SWR, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((_RG, SWR, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((_RG,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((C, outR, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Cp, outR, 128), jnp.int32),
         interpret=interpret,
-    )(aoff_rows.astype(jnp.int32), wc.astype(jnp.int32),
-      dense.astype(jnp.int32), lw_pad.reshape(C, nlR, 128))
-    return out.reshape(C, nl * wb).astype(jnp.uint32)
+    )(aoff_p, wc_p, dense.astype(jnp.int32), lw_pad.reshape(Cp, nlR, 128))
+    return out[:C].reshape(C, nl * wb).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
