@@ -614,17 +614,48 @@ class TPUCodec:
                     _start_fetch(st)
                 for st in (st1, st2):
                     _presplice_payload(st)
-                return min((self._assemble_global(data, st1),
-                            self._assemble_global(data, st2)), key=len)
+                return self._race_v1(data, min(
+                    (self._assemble_global(data, st1),
+                     self._assemble_global(data, st2)), key=len))
             st = self._dispatch_global(data, bs, whole=False)
             _start_fetch(st)
             _presplice_payload(st)
-            return self._assemble_global(data, st)
+            return self._race_v1(data, self._assemble_global(data, st))
         return self._finish_container(cfg.entropy, payload_a, meta_a,
                                       tables, n_chunks, n, total,
                                       adapt_meta, sharded_meta, data,
                                       cfg.chunk_size, cfg.lane,
                                       dense=isinstance(payload_a, bytes))
+
+    # v1-race gates: only small inputs (the FGK chain is per-symbol
+    # serial) whose v3 container is small enough for fixed costs or
+    # per-symbol adaptation to decide the winner (BASELINE.md §B)
+    _V1_RACE_MAX_IN = 1 << 20
+    _V1_RACE_MAX_OUT = 1 << 16
+
+    def _race_v1(self, data: bytes, blob: bytes) -> bytes:
+        """Best-of-N finalist: the v1 (reference wire format) profile.
+
+        The v3 container's fixed costs (43-byte header + a packed code-
+        length table + crc) and its static tables can lose to the
+        reference's 9-byte header + per-symbol FGK adaptation on small or
+        gradient-heavy payloads (huffman.cpp:95-128 — e.g. df1hvx `-m`).
+        When the v3 winner is small enough that those costs matter, race
+        the bit-exact v1 encoder (models/reference.py) and keep the
+        smaller blob — decode() dispatches on the container magic, so the
+        result is self-describing either way. Gated on input size too:
+        the v1 FGK chain is serial per symbol and must not run on bulk
+        streaming inputs."""
+        if (len(data) > self._V1_RACE_MAX_IN
+                or len(blob) > self._V1_RACE_MAX_OUT):
+            return blob
+        from huffman_codec_tpu.models.reference import V1Codec
+
+        try:
+            v1 = V1Codec(self.config).encode(data)
+        except Exception:  # noqa: BLE001 — the race must never break v3
+            return blob
+        return v1 if len(v1) < len(blob) else blob
 
     def _encode_sharded_adapt(self, data: bytes) -> bytes:
         """Sharded-ADAPTIVE encode: the input matrix is cut into bands of
@@ -1171,6 +1202,19 @@ class TPUCodec:
         return self.run_decode_steps(hdr, staged)
 
     def decode(self, blob: bytes) -> bytes:
+        if blob[:6] != V3_MAGIC:
+            # self-describing dispatch: encode() may return a v1 blob
+            # when the reference profile wins the size race (_race_v1),
+            # and users hand us upstream-binary files directly
+            from huffman_codec_tpu.formats import is_v2
+
+            if is_v2(blob):
+                from huffman_codec_tpu.native import runtime
+
+                return runtime.v2_decompress(blob)
+            from huffman_codec_tpu.models.reference import V1Codec
+
+            return V1Codec(self.config).decode(blob)
         hdr = self._parse(blob)
         if hdr["orig"] == 0:
             return b""

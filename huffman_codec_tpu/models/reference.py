@@ -61,8 +61,16 @@ class V1Codec:
         else:
             stream, total = rle_encode(x)
         total = int(total)
-        n_words = _cdiv(total * max_code_bits(total), 32) + 2
-        words, bits = fgk_encode_chunk(stream[:total], jnp.int32(total), n_words)
+        # bucket the padded stream length and word capacity to powers of
+        # two: fgk_encode_chunk is a fixed-shape scan, so nearby totals
+        # share one compilation (the 48-cell matrix would otherwise
+        # compile a fresh scan per cell; the pad columns are masked by
+        # the true ``length`` operand and never reach the output bytes)
+        gran = max(4096, 1 << max(0, total.bit_length() - 3))
+        cap = _cdiv(total, gran) * gran  # <= ~14% pad, few shapes/octave
+        n_words = _cdiv(cap * max_code_bits(cap), 32) + 2
+        pad = jnp.zeros((cap,), jnp.uint8).at[:total].set(stream[:total])
+        words, bits = fgk_encode_chunk(pad, jnp.int32(total), n_words)
         nb = (int(bits) + 7) // 8
         body = np.asarray(words_to_bytes(words, max(1, nb)))[:nb].tobytes()
         return make_huff_header(total, cfg.use_diff, cfg.use_adapt) + body

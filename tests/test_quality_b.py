@@ -38,8 +38,5 @@ def test_v3_size_vs_reference_b(name, col, use_diff, use_adapt):
                                  chunk_size=65536))
     blob = codec.encode(raw)
     ref = REF[name][col]
-    if ref > 20000:
-        assert len(blob) <= ref, (name, col, len(blob), ref)
-    else:
-        assert len(blob) <= ref + 640, (name, col, len(blob), ref)
+    assert len(blob) <= ref, (name, col, len(blob), ref)
     assert codec.decode(blob) == raw
