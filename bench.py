@@ -186,9 +186,12 @@ def _adaptive_stream_probe() -> dict:
                                  lane=512))
     blob = codec.encode(raw)
     assert codec.decode(blob) == raw, "sharded-adaptive roundtrip failed"
-    t0 = _t.perf_counter()
-    blob = codec.encode(raw)
-    e2e = _t.perf_counter() - t0
+    e2e = None
+    for _ in range(3):  # best-of-3: the first post-compile pass still
+        t0 = _t.perf_counter()  # pays one-time staging on this rig
+        blob = codec.encode(raw)
+        dt = _t.perf_counter() - t0
+        e2e = dt if e2e is None else min(e2e, dt)
     arr = np.frombuffer(raw, np.uint8)
     bands = arr.reshape(256, 65536)
     car = np.zeros((256,), np.uint8)

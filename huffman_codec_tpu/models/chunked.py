@@ -70,7 +70,7 @@ from huffman_codec_tpu.ops.canonical import (
 )
 from huffman_codec_tpu.ops.diff import diff_apply, diff_revert
 from huffman_codec_tpu.ops.fgk import fgk_decode_batch, fgk_encode_batch, max_code_bits
-from huffman_codec_tpu.ops.rle import rle_decode, rle_encode
+from huffman_codec_tpu.ops.rle import rle_decode, rle_encode, rle_encoded_size
 
 V3_MAGIC = b"HCTPU\x03"
 ENTROPY_FGK = 0
@@ -430,10 +430,42 @@ def _encode_sharded_adapt_stage(bands, carries, use_diff: bool,
         work = jax.lax.optimization_barrier(work)
     else:
         work = bands
-    enc = jax.vmap(lambda m: adapt_encode_fixed(
-        m, width, band_h, bs, out_len=cap, with_header=False))
-    streams, totals, dirs, tile_lens = enc(work)
-    totals = totals.astype(jnp.int32)
+    from huffman_codec_tpu.ops.canonical import _use_pallas
+
+    cs = band_h * width
+    T = bs * bs
+    if (jax.default_backend() != "cpu" and _use_pallas()
+            and width % bs == 0 and band_h % bs == 0
+            and T & (T - 1) == 0 and cs % 128 == 0 and cap % 128 == 0):
+        # fused Pallas band path: tile-major reorder (two pure
+        # reshape/transpose copies), closed-form per-tile sizes for the
+        # scan-direction pick, then ONE per-tile-restart RLE kernel pass
+        # over the winning order — the kernel's in-chunk prefix sums
+        # concatenate the tile streams, so the vmapped XLA rle_encode
+        # (2x per tile) + full-width butterfly concat this replaces
+        # never run (they were the 163 MB/s bottleneck, BENCH_r04)
+        from huffman_codec_tpu.ops.pallas_kernels import rle_diff_encode_fused
+
+        nb = work.shape[0]
+        m = work.reshape(nb, band_h // bs, bs, width // bs, bs)
+        hor = m.transpose(0, 1, 3, 2, 4).reshape(nb, -1, T)
+        ver = m.transpose(0, 1, 3, 4, 2).reshape(nb, -1, T)
+        nt = hor.shape[1]
+        size = jax.vmap(jax.vmap(
+            lambda t: rle_encoded_size(t, jnp.int32(T))))
+        h_sz, v_sz = size(hor), size(ver)
+        dirs = h_sz <= v_sz  # horizontal wins ties (transform.cpp:114-123)
+        tile_lens = jnp.minimum(h_sz, v_sz)
+        win = jnp.where(dirs[:, :, None], hor, ver).reshape(nb, cs)
+        streams, totals = rle_diff_encode_fused(
+            win, jnp.full((nb,), cs, jnp.int32),
+            jnp.zeros((nb,), jnp.uint8), False, cap, tile=T)
+        totals = totals.astype(jnp.int32)
+    else:
+        enc = jax.vmap(lambda m: adapt_encode_fixed(
+            m, width, band_h, bs, out_len=cap, with_header=False))
+        streams, totals, dirs, tile_lens = enc(work)
+        totals = totals.astype(jnp.int32)
     out = _entropy_encode(streams, totals, entropy, lane)
     return (*out, totals, dirs, tile_lens)
 

@@ -845,10 +845,19 @@ def _iota_flat(R):
 
 
 def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
-                      use_diff: bool, R: int, capR: int):
+                      use_diff: bool, R: int, capR: int, tile: int = 0):
     """One grid step = one chunk: diff (carry-seeded) -> segment starts ->
     cummax segment origin -> q = (i - start) % 258 -> emission flags ->
-    two prefix sums -> two monotone routings (literals, count bytes)."""
+    two prefix sums -> two monotone routings (literals, count bytes).
+
+    ``tile`` > 0 (a power of two) forces a segment restart every ``tile``
+    positions and applies the last-byte rule (transform.cpp:252) at every
+    tile's final position — the chunk then encodes as the CONCATENATION of
+    independent per-tile MNP-5 streams, which is exactly the adaptive
+    block-RLE band payload (transform.cpp:97-134) when the caller feeds
+    tiles in scan order: the per-chunk prefix sums concatenate the tile
+    streams for free, so the band stage needs no separate butterfly
+    concat pass."""
     c = pl.program_id(0)
     length = len_ref[c]
     carry = carry_ref[c]
@@ -868,6 +877,10 @@ def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
 
     valid = fi < length
     seg_start = ((fi == 0) | (y != py) | (fi == length - 1)) & valid
+    if tile:
+        ti = fi & (tile - 1)
+        seg_start = (seg_start
+                     | (valid & ((ti == 0) | (ti == tile - 1))))
     sidx = _flat_prefix(jnp.where(seg_start, fi, 0), R, jnp.maximum, False)
     q = _mod258(fi - sidx, R * 128)
     nxt_start = _flat_shift_left(seg_start.astype(jnp.int32), 1, R, 1)
@@ -901,25 +914,36 @@ def _rle_fused_kernel(len_ref, carry_ref, x_ref, out_ref, tot_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("use_diff", "cap", "interpret"))
+                   static_argnames=("use_diff", "cap", "interpret", "tile"))
 def rle_diff_encode_fused(chunks: jax.Array, lengths: jax.Array,
                           carries: jax.Array, use_diff: bool, cap: int,
-                          interpret: bool = False):
+                          interpret: bool = False, tile: int = 0):
     """Fused per-chunk diff + MNP-5 RLE encode on TPU.
 
     chunks (C, n) uint8 (n % 128 == 0), lengths (C,) valid byte counts,
     carries (C,) the input byte preceding each chunk (diff seed).
     Returns (streams (C, cap) uint8, rle_lens (C,) int32) — bit-exact with
     ``diff then ops/rle.rle_encode`` per chunk (cap % 128 == 0).
+
+    ``tile`` > 0 (power of two, dividing n): per-tile restart mode — each
+    chunk row is treated as n/tile independent tile streams encoded and
+    concatenated in order (see _rle_fused_kernel). Tile mode is for the
+    adaptive band stage, whose diff runs in MATRIX order before the tile
+    reorder — so it requires ``use_diff=False``.
     """
     C, n = chunks.shape
     if n % 128 or cap % 128:
         raise ValueError("chunk length and cap must divide by 128")
+    if tile:
+        if tile & (tile - 1) or n % tile:
+            raise ValueError("tile must be a power of two dividing n")
+        if use_diff:
+            raise ValueError("tile mode requires use_diff=False")
     R, capR = n // 128, cap // 128
     x = chunks.reshape(C, R, 128).astype(jnp.int32)
     out, tot = pl.pallas_call(
         functools.partial(_rle_fused_kernel, use_diff=use_diff, R=R,
-                          capR=capR),
+                          capR=capR, tile=tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(C,),

@@ -130,6 +130,32 @@ def test_fused_rle_run_ending_at_length():
         _run_fused_case([(data, 0)], 512, True)
 
 
+@pytest.mark.parametrize("tile", [64, 256])
+def test_fused_rle_tiled_equals_per_tile_encode(tile):
+    # tile mode == per-tile rle_encode concatenated in order (the adaptive
+    # band-stage contract, chunked.py _encode_sharded_adapt_stage):
+    # runs crossing tile boundaries restart, every tile's last byte is a
+    # forced literal, and in-chunk offsets concatenate the tile streams
+    n = 1024
+    cap = -(-rle_max_encoded_len(n) // 128) * 128
+    data = np.concatenate([
+        np.asarray(RNG.integers(0, 3, n // 2), np.uint8),
+        np.full((n // 2,), 7, np.uint8),  # one run spanning many tiles
+    ])
+    chunks = data[None, :]
+    got_s, got_n = rle_diff_encode_fused(
+        jnp.asarray(chunks), jnp.full((1,), n, jnp.int32),
+        jnp.zeros((1,), jnp.uint8), False, cap, interpret=True, tile=tile)
+    parts = []
+    for t0 in range(0, n, tile):
+        s, ln = rle_encode(jnp.asarray(data[t0:t0 + tile]),
+                           jnp.int32(tile))
+        parts.append(np.asarray(s)[: int(ln)])
+    exp = np.concatenate(parts)
+    assert int(got_n[0]) == len(exp)
+    np.testing.assert_array_equal(np.asarray(got_s)[0, : len(exp)], exp)
+
+
 # ---------------------------------------------------------------------------
 # fused RLE expansion (+ diff revert) kernel — the production TPU decode
 # tail (models/chunked.py:_decode_sharded_tail) vs the XLA formulation
