@@ -640,8 +640,24 @@ class TPUCodec:
                 # best-of-two: DISPATCH both candidates before fetching
                 # either — the device work overlaps and the ~28 ms tunnel
                 # round-trips collapse into one wave
-                st1 = self._dispatch_global(data, bs, whole=True)
-                st2 = self._dispatch_global(data, bs, whole=False)
+                # one thread per candidate ON THE COLD CALL ONLY: the two
+                # stage compiles overlap (XLA releases the GIL); once
+                # compiled, threaded dispatch costs extra tunnel
+                # round-trips, so warm calls dispatch inline
+                key = (n, bs, cfg.chunk_size, cfg.lane, cfg.flags())
+                if key in self._WARM_GLOBAL_KEYS:
+                    st1 = self._dispatch_global(data, bs, whole=True)
+                    st2 = self._dispatch_global(data, bs, whole=False)
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(2) as ex:
+                        f1 = ex.submit(self._dispatch_global, data, bs,
+                                       True)
+                        f2 = ex.submit(self._dispatch_global, data, bs,
+                                       False)
+                        st1, st2 = f1.result(), f2.result()
+                    self._WARM_GLOBAL_KEYS.add(key)
                 for st in (st1, st2):
                     _start_fetch(st)
                 for st in (st1, st2):
@@ -664,6 +680,9 @@ class TPUCodec:
     # per-symbol adaptation to decide the winner (BASELINE.md §B)
     _V1_RACE_MAX_IN = 1 << 20
     _V1_RACE_MAX_OUT = 1 << 16
+    # global-layout geometries whose best-of-two stages are compiled
+    # (class-wide — the jit cache they guard is process-wide too)
+    _WARM_GLOBAL_KEYS: set = set()
 
     def _race_v1(self, data: bytes, blob: bytes) -> bytes:
         """Best-of-N finalist: the v1 (reference wire format) profile.
@@ -711,10 +730,10 @@ class TPUCodec:
         sx = diff_apply(x) if cfg.use_diff else x
         # block-size search: candidates must fit a band; scored on the
         # full matrix (same emission/entropy economics, one async wave)
-        from huffman_codec_tpu.ops.adapt import _adapt_score_v3
+        from huffman_codec_tpu.ops.adapt import _threaded_scores
 
         cands = candidate_sizes(w, min(band_h, n_rows))
-        scores = [_adapt_score_v3(sx, w, n_rows, b) for b in cands]
+        scores = _threaded_scores(sx, w, n_rows, cands)
         for s in scores:
             s.copy_to_host_async()
         bs = cands[int(np.argmin([int(s) for s in scores]))]
@@ -1054,9 +1073,14 @@ class TPUCodec:
              if hdr["flags"] & FLAG_SHARDED else cs)
         nl = L // hdr["lane"]
         wb = hdr["wl_bucket"]
+        # wb cap: the kernel's unrolled butterflies + fill rounds scale
+        # with the stride, and Mosaic compile blows up on the few-fat-
+        # lanes whole-file geometry (73 s at nl=16, wb=6592 on the v5e);
+        # those containers are latency-bound anyway — the XLA spread
+        # decodes them in ~ms and compiles in seconds
         return (jax.default_backend() != "cpu" and _use_pallas()
                 and (nl * wb) % 128 == 0 and nl * wb <= (1 << 18)
-                and nl <= 4096)
+                and nl <= 4096 and wb <= 2048)
 
     def _stage_words_aligned(self, blob, hdr, c0, c1, rows):
         """Aligned staging for the Pallas repad kernel: each chunk's

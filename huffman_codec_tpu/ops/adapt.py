@@ -356,13 +356,37 @@ def adapt_search_best_v3(matrix: jax.Array, width: int,
 
     All candidate scores are dispatched before any is fetched — one
     device sync total (the round-trip latency dominates the device work
-    on a tunneled chip)."""
+    on a tunneled chip). Dispatch happens from a thread per candidate:
+    XLA compilation releases the GIL, so the 8 cold compiles overlap
+    (measured 27 -> 10 s on the v5e); warm calls just pay ~ms of thread
+    spawn before the same async dispatch wave."""
     cands = candidate_sizes(width, height)
-    scores = [_adapt_score_v3(matrix, width, height, bs) for bs in cands]
+    scores = _threaded_scores(matrix, width, height, cands)
     for s in scores:
         s.copy_to_host_async()
     vals = [int(s) for s in scores]
     return cands[int(np.argmin(vals))]  # first minimum == smaller bs
+
+
+_WARM_SCORE_KEYS: set = set()
+
+
+def _threaded_scores(matrix, width, height, cands):
+    """Dispatch _adapt_score_v3 for every candidate — from one thread per
+    candidate on the FIRST call for this geometry (cold compiles overlap;
+    the jit cache is shared), and inline on warm calls (threaded dispatch
+    costs extra tunnel round-trips once everything is compiled)."""
+    key = (matrix.shape, matrix.dtype, width, height, tuple(cands))
+    if key in _WARM_SCORE_KEYS:
+        return [_adapt_score_v3(matrix, width, height, b) for b in cands]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(cands)) as ex:
+        futs = [ex.submit(_adapt_score_v3, matrix, width, height, b)
+                for b in cands]
+        out = [f.result() for f in futs]
+    _WARM_SCORE_KEYS.add(key)
+    return out
 
 
 def _be64(v: int) -> np.ndarray:

@@ -111,6 +111,28 @@ def rle_encode(
     per_pos = eli + emit_cnt.astype(jnp.int32)
     off = jnp.cumsum(per_pos) - per_pos  # exclusive prefix sum
     total = off[-1] + per_pos[-1]
+    if n >= 1 << 17:
+        # whole-file widths: the (n, 2) -> 2n interleave reshape below is
+        # an XLA:TPU COMPILE bomb at these shapes (measured 43 s of the
+        # 59 s rle_encode compile at n = 262144 — the r4 "adaptive cold
+        # compile" hotspot; fusion barriers don't help, the relayout
+        # itself is what the compiler chokes on). Route one packed
+        # 16-bit pair per POSITION instead (the Pallas kernel's design,
+        # pallas_kernels.py:_rle_fused_kernel): position targets are
+        # strictly increasing with gaps <= 2, the pair's second byte is
+        # recovered from the gap slot's fill value. Compiles in ~10 s.
+        emit2 = emit_lit & emit_cnt
+        b0 = jnp.where(emit_lit, x.astype(jnp.int32),
+                       cnt_val.astype(jnp.int32))
+        b1 = jnp.where(emit2, cnt_val.astype(jnp.int32), 0)
+        kept = per_pos > 0
+        vv, _ = monotone_spread(b0 | (b1 << 8), off, kept, out_len,
+                                max_gap=2)
+        tt, _ = monotone_spread(off, off, kept, out_len, max_gap=2)
+        j = jnp.arange(out_len, dtype=jnp.int32)
+        out = jnp.where(tt == j, vv & 255, (vv >> 8) & 255)
+        out = jnp.where(j < total, out, 0).astype(jnp.uint8)
+        return out, total
     # slot 2i = position i's literal, 2i+1 its count byte: interleave with
     # stack+reshape, NOT x[slot >> 1] indexing — XLA:TPU executes those
     # strided gathers at ~14 ns/element (5 of them cost 35 ms for a
