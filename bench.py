@@ -153,6 +153,7 @@ def _adaptive_probe() -> dict:
     assert out == raw, "adaptive roundtrip failed"
     enc_s = min(timed(lambda: codec.encode(raw)) for _ in range(3))
     dec_s = min(timed(lambda: codec.decode(blob)) for _ in range(3))
+    dev_ms, rt_ms = _adaptive_device_ms(codec, raw)
     return {"file": "hd01.raw", "encode_s": round(enc_s, 3),
             "encode_mbps": round(len(raw) / enc_s / 1e6, 2),
             "decode_s": round(dec_s, 3),
@@ -160,8 +161,69 @@ def _adaptive_probe() -> dict:
             "bytes": len(blob),
             "bpc": round(8 * len(blob) / len(raw), 3), "ref_bytes": 87901,
             "ref_encode_s": 0.51, "ref_decode_s": 0.26,
+            # the warm-latency accounting (VERDICT r4 weak #4): encode_s
+            # should be ~device_ms + ~3 tunnel round-trips (search sync,
+            # dispatch wave, payload fetch) — both terms now measured
+            "device_ms": dev_ms, "tunnel_rt_ms": rt_ms,
             "compile_s": {"encode": round(compile_enc, 1),
                           "decode": round(compile_dec, 1)}}
+
+
+def _adaptive_device_ms(codec, raw) -> tuple[float, float]:
+    """Measured DEVICE time of one warm hd01 `-a -m` encode (score wave +
+    both best-of-two container stages) and the tunnel round-trip: chain M
+    dispatch waves with one sync and difference two M values — the slope
+    is pure device work, the RT cancels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from huffman_codec_tpu.ops.adapt import (_adapt_score_v3,
+                                             candidate_sizes)
+    from huffman_codec_tpu.ops.diff import diff_apply
+
+    x0 = jnp.asarray(np.frombuffer(raw, np.uint8))
+    sx = jax.block_until_ready(diff_apply(x0))
+    cands = candidate_sizes(512, len(raw) // 512)
+    scores = [_adapt_score_v3(sx, 512, 512, b) for b in cands]
+    bs = cands[int(np.argmin([int(s) for s in scores]))]
+
+    def wave_scores(m):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(m):
+            for b in cands:
+                last = _adapt_score_v3(sx, 512, 512, b)
+        int(last)
+        return time.perf_counter() - t0
+
+    def wave_stages(m):
+        t0 = time.perf_counter()
+        st = None
+        for _ in range(m):
+            st = (codec._dispatch_global(raw, bs, whole=True),
+                  codec._dispatch_global(raw, bs, whole=False))
+        jax.tree_util.tree_map(
+            lambda a: a.block_until_ready()
+            if hasattr(a, "block_until_ready") else a, st)
+        return time.perf_counter() - t0
+
+    wave_scores(1), wave_stages(1)  # warm the dispatch path
+    sc = (min(wave_scores(9) for _ in range(2))
+          - min(wave_scores(1) for _ in range(2))) / 8
+    stg = (min(wave_stages(9) for _ in range(2))
+           - min(wave_stages(1) for _ in range(2))) / 8
+    # tunnel round-trip: warm scalar dispatch + fetch
+    z = jax.jit(lambda v: v + 1)
+    int(z(jnp.int32(1)))
+    rt = min(timed_once(lambda: int(z(jnp.int32(1)))) for _ in range(5))
+    return round((sc + stg) * 1e3, 1), round(rt * 1e3, 1)
+
+
+def timed_once(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def _adaptive_stream_probe() -> dict:
